@@ -1,0 +1,308 @@
+"""Deterministic synthetic web-page corpus for tests and benchmarks.
+
+Generates the exact input shape mandated by BASELINE.json ``input_hint``:
+
+    pages: url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING
+
+plus companion oracle tables (never read by the pipeline, only by tests):
+
+    entities:      id, name, description, aliases ARRAY<STRING>
+    mentions_gold: url, mention_id, start, end, surface, labels ARRAY<STRING>
+    labeled_pairs: mention_a, mention_b, is_match
+
+Semantics mirror the reference toy corpus
+(/root/reference/tests/test_data/dataset_toy.jsonl:1-5):
+  - alias surfaces for the same entity ("Facebook" -> Meta, line 3);
+  - case-folded surfaces ("amazon" -> Amazon, line 3);
+  - multi-gold labels (["000014","-1"], line 3);
+  - NIL-gold mentions (["-1"], line 4: Toyota/Sony absent from dictionary);
+  - zero-entity pages (line 5);
+plus a deliberately hot blocking key (many entities sharing a first token)
+to exercise salting, per FIXTURES.md §2.
+
+Everything is seeded (``random.Random(seed)``), no wall-clock, no external
+data. The generator is pure Python on the driver for unit/e2e scale and a
+parallelized Spark ``mapInPandas`` path for bench scale.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import random
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+NIL_ID = "-1"
+
+_FIRST = [
+    "Acme", "Borealis", "Cascade", "Datum", "Everest", "Fulcrum", "Granite",
+    "Helios", "Ironwood", "Juniper", "Kestrel", "Lumen", "Meridian", "Nimbus",
+    "Obsidian", "Pinnacle", "Quartz", "Redwood", "Summit", "Tundra",
+    "Umbra", "Vertex", "Willow", "Xenon", "Yonder", "Zephyr",
+]
+_SECOND = [
+    "Systems", "Dynamics", "Analytics", "Industries", "Holdings", "Partners",
+    "Technologies", "Networks", "Logistics", "Robotics", "Ventures",
+    "Materials", "Energy", "Biosciences", "Aerospace", "Microdevices",
+]
+_SUFFIX = ["Inc", "Corp", "Ltd", "Group", "Co"]
+_CITY = [
+    "Osaka", "Denver", "Lagos", "Porto", "Tallinn", "Quito", "Perth",
+    "Geneva", "Nairobi", "Reykjavik", "Montevideo", "Hanoi",
+]
+# The hot first token: ~8% of entities share it -> a hot blocking key.
+_HOT_TOKEN = "Global"
+
+_TEMPLATES = [
+    ("{m} announced a new product line this quarter.", 0),
+    ("Analysts expect {m} to expand into new markets.", 17),
+    ("The merger between {m} and a regional supplier closed today.", 19),
+    ("Shares of {m} rose after the earnings call.", 10),
+    ("Employees at {m} ratified a new agreement.", 13),
+    ("Regulators opened an inquiry into {m} practices.", 34),
+    ("A spokesperson for {m} declined to comment.", 19),
+]
+_TEMPLATES_2 = [
+    ("{m} signed a supply deal with {n} on Friday.", 0, 30),
+    ("Talks between {m} and {n} stalled last week.", 14, 22),
+]
+_FILLER = [
+    "Markets were mixed across the region.",
+    "The quarterly report cited supply constraints.",
+    "Officials described the outlook as stable.",
+    "Trading volume stayed near seasonal averages.",
+    "The committee will reconvene next month.",
+]
+_LANGS = ["en", "en", "en", "en", "en", "en", "en", "en", "de", "ja"]
+
+
+@dataclass
+class Entity:
+    id: str
+    name: str
+    description: str
+    aliases: list[str] = field(default_factory=list)
+
+    def surfaces(self) -> list[str]:
+        return [self.name, *self.aliases]
+
+
+def _typo(rng: random.Random, s: str) -> str:
+    """Edit-distance-1 corruption away from the first 4 chars (keeps the
+    Jaro-Winkler prefix and the normalized blocking key intact)."""
+    if len(s) < 8:
+        return s.lower()
+    i = rng.randrange(4, len(s) - 1)
+    kind = rng.randrange(3)
+    if kind == 0:  # drop
+        return s[:i] + s[i + 1 :]
+    if kind == 1:  # swap
+        return s[:i] + s[i + 1] + s[i] + s[i + 2 :]
+    return s[:i] + rng.choice("aeiou") + s[i + 1 :]  # substitute
+
+
+def make_entities(rng: random.Random, n: int) -> list[Entity]:
+    """n dictionary entities + deterministic alias surfaces each."""
+    names: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    while len(names) < n:
+        if len(names) % 12 == 3:  # hot-key family
+            first = _HOT_TOKEN
+        else:
+            first = rng.choice(_FIRST)
+        base = f"{first} {rng.choice(_SECOND)}"
+        if base in seen:
+            base = f"{base} {rng.choice(_SUFFIX)}"
+        if base in seen:
+            continue
+        seen.add(base)
+        names.append((base, rng.choice(_CITY)))
+    out: list[Entity] = []
+    for k, (name, city) in enumerate(names):
+        aliases = [name.lower(), _typo(rng, name)]
+        if rng.random() < 0.3:
+            aliases.append(f"{name} {rng.choice(_SUFFIX)}")
+        # Distinct code-name alias (the "Facebook"->Meta analog): string-sim
+        # can't recover it; only the dictionary knows. Deterministic shape.
+        if rng.random() < 0.2:
+            aliases.append(f"{name.split()[0]}{k % 97:02d} project")
+        out.append(
+            Entity(
+                id=f"E{k:05d}",
+                name=name,
+                description=f"{name} is a company based in {city}.",
+                aliases=sorted(set(a for a in aliases if a != name)),
+            )
+        )
+    return out
+
+
+def _render_html(title: str, text: str) -> bytes:
+    """Template page. ``extract_text`` must invert this byte-identically."""
+    body = _html.escape(text, quote=False)
+    page = (
+        "<!DOCTYPE html><html><head><meta charset=\"utf-8\">"
+        f"<title>{_html.escape(title, quote=False)}</title>"
+        "<script>var x=1;</script></head>"
+        f"<body><nav>home | about</nav><article>{body}</article>"
+        "<footer>(c) example</footer></body></html>"
+    )
+    return page.encode("utf-8")
+
+
+def make_corpus(
+    seed: int = 42,
+    n_pages: int = 200,
+    n_entities: int = 20,
+) -> dict[str, list]:
+    """Returns dict of row-lists: pages, entities, mentions_gold.
+
+    ~70% of pages carry 1-3 entity mentions; ~10% mention out-of-dictionary
+    names (NIL gold); ~20% have zero mentions (dataset_toy.jsonl:5 analog).
+    """
+    rng = random.Random(seed)
+    entities = make_entities(rng, n_entities)
+    nil_names = [f"{rng.choice(_FIRST)}{rng.choice(_SECOND)}X{j}" for j in range(max(3, n_entities // 5))]
+
+    pages: list[dict] = []
+    mentions: list[dict] = []
+    for i in range(n_pages):
+        url = f"https://site{i % 37}.example/page/{i}"
+        ts = EPOCH + timedelta(seconds=137 * i)
+        lang = _LANGS[rng.randrange(len(_LANGS))]
+        roll = rng.random()
+        parts: list[str] = [rng.choice(_FILLER)]
+        page_mentions: list[tuple[str, list[str]]] = []  # (surface, labels)
+        if roll < 0.70:
+            for _ in range(rng.randrange(1, 4)):
+                ent = rng.choice(entities)
+                surface = rng.choice(ent.surfaces())
+                labels = [ent.id]
+                if rng.random() < 0.05:  # multi-gold analog ["000014","-1"]
+                    labels = [ent.id, NIL_ID]
+                page_mentions.append((surface, labels))
+        elif roll < 0.80:
+            page_mentions.append((rng.choice(nil_names), [NIL_ID]))
+        # else: zero-mention page
+
+        text_parts: list[str] = []
+        offset = 0
+        for chunk in parts:
+            text_parts.append(chunk)
+            offset += len(chunk) + 1
+        for j, (surface, labels) in enumerate(page_mentions):
+            tmpl, rel = rng.choice(_TEMPLATES)
+            sent = tmpl.format(m=surface)
+            start = offset + rel
+            end = start + len(surface)
+            mentions.append(
+                {
+                    "url": url,
+                    "mention_id": f"{url}#m{j}",
+                    "start": start,
+                    "end": end,
+                    "surface": surface,
+                    "labels": labels,
+                }
+            )
+            text_parts.append(sent)
+            offset += len(sent) + 1
+        text_parts.append(rng.choice(_FILLER))
+        text = " ".join(text_parts)
+        pages.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": _render_html(f"page {i}", text),
+                "text": text,
+                "lang": lang,
+            }
+        )
+
+    return {
+        "pages": pages,
+        "entities": [
+            {"id": e.id, "name": e.name, "description": e.description, "aliases": e.aliases}
+            for e in entities
+        ],
+        "mentions_gold": mentions,
+    }
+
+
+def labeled_pairs(mentions_gold: list[dict], max_negatives_per_pos: int = 3, seed: int = 7) -> list[dict]:
+    """Gold pairwise labels: positive iff gold label sets intersect on a
+    non-NIL id (FIXTURES.md §4). Negatives sampled deterministically."""
+    rng = random.Random(seed)
+    pos: list[dict] = []
+    by_label: dict[str, list[str]] = {}
+    mlabels: dict[str, set[str]] = {}
+    for m in mentions_gold:
+        mlabels[m["mention_id"]] = {x for x in m["labels"] if x != NIL_ID}
+        for lb in m["labels"]:
+            if lb != NIL_ID:
+                by_label.setdefault(lb, []).append(m["mention_id"])
+    seen: set[tuple[str, str]] = set()
+    for ids in by_label.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sorted((ids[i], ids[j]))
+                if (a, b) not in seen:
+                    seen.add((a, b))
+                    pos.append({"mention_a": a, "mention_b": b, "is_match": True})
+    all_ids = sorted(mlabels)
+    neg: list[dict] = []
+    target = min(len(pos) * max_negatives_per_pos, len(all_ids) * 2)
+    attempts = 0
+    while len(neg) < target and attempts < target * 20:
+        attempts += 1
+        a, b = rng.sample(all_ids, 2)
+        a, b = sorted((a, b))
+        if (a, b) in seen:
+            continue
+        if mlabels[a] & mlabels[b]:
+            continue
+        seen.add((a, b))
+        neg.append({"mention_a": a, "mention_b": b, "is_match": False})
+    return pos + neg
+
+
+# ---------------------------------------------------------------------------
+# Spark materialization
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+ENTITIES_SCHEMA = "id string, name string, description string, aliases array<string>"
+MENTIONS_SCHEMA = (
+    "url string, mention_id string, start int, end int, surface string, labels array<string>"
+)
+PAIRS_SCHEMA = "mention_a string, mention_b string, is_match boolean"
+
+
+def corpus_dfs(spark, seed: int = 42, n_pages: int = 200, n_entities: int = 20):
+    """Materialize the corpus as DataFrames: (pages, entities, mentions_gold,
+    labeled_pairs)."""
+    c = make_corpus(seed=seed, n_pages=n_pages, n_entities=n_entities)
+    pages = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]) for p in c["pages"]],
+        schema=PAGES_SCHEMA,
+    )
+    ents = spark.createDataFrame(
+        [(e["id"], e["name"], e["description"], e["aliases"]) for e in c["entities"]],
+        schema=ENTITIES_SCHEMA,
+    )
+    golds = spark.createDataFrame(
+        [
+            (m["url"], m["mention_id"], m["start"], m["end"], m["surface"], m["labels"])
+            for m in c["mentions_gold"]
+        ],
+        schema=MENTIONS_SCHEMA,
+    )
+    lp = labeled_pairs(c["mentions_gold"])
+    pairs = spark.createDataFrame(
+        [(p["mention_a"], p["mention_b"], p["is_match"]) for p in lp] or [("x", "y", False)],
+        schema=PAIRS_SCHEMA,
+    )
+    return pages, ents, golds, pairs

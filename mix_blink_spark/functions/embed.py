@@ -1,0 +1,69 @@
+"""Dense-embedding encoder seam (SURVEY.md §2.3 E1/E2).
+
+The reference encodes mentions/entities with two transformer encoders +
+CLS pooling (reference modeling/encoder.py:62-77). This sandbox has no
+model weights or GPU, so the *production seam* is kept — an
+iterator-of-series ``pandas_udf`` whose per-executor state is initialized
+once (exactly how an HF model would be cached per worker) — while the
+default encoder is a deterministic character-trigram feature-hashing
+embedder:
+
+  - char 3-grams of the padded, casefolded surface,
+  - hashed (blake2b, keyed, stable across processes — no PYTHONHASHSEED)
+    into ``dim`` signed buckets,
+  - L2-normalized.
+
+Trigram hashing preserves the property the pipeline needs from a trained
+bi-encoder: small edits / case folds → high cosine; unrelated names → low
+cosine. A real encoder drops in by replacing ``_encode_batch`` only; every
+downstream operator (broadcast index, measures, top-k) is unchanged.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.types import ArrayType, FloatType
+from pyspark.sql.functions import pandas_udf
+
+DIM = 64
+
+
+def _grams(s: str, n: int = 3) -> list[bytes]:
+    padded = f" {s.lower()} "
+    if len(padded) < n:
+        return [padded.encode("utf-8")]
+    return [padded[i : i + n].encode("utf-8") for i in range(len(padded) - n + 1)]
+
+
+def encode_one(s: str, dim: int = DIM) -> np.ndarray:
+    v = np.zeros(dim, dtype=np.float64)
+    for g in _grams(s):
+        h = int.from_bytes(blake2b(g, digest_size=8, key=b"mbs-enc").digest(), "big")
+        sign = 1.0 if (h >> 63) & 1 else -1.0
+        v[h % dim] += sign
+    norm = float(np.linalg.norm(v))
+    if norm > 0:
+        v /= norm
+    return v.astype(np.float32)
+
+
+def encode_matrix(texts: list[str], dim: int = DIM) -> np.ndarray:
+    """(len(texts), dim) float32, L2-normalized rows."""
+    return np.stack([encode_one(t, dim) for t in texts]) if texts else np.zeros((0, dim), np.float32)
+
+
+@pandas_udf(ArrayType(FloatType()))
+def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Iterator-of-series form: worker-local init happens once per task
+    (the seam where a transformer would be loaded; reference
+    retriever/dense.py:68-84 batches through the entity encoder the same
+    way). Each yielded batch is one Arrow record batch."""
+    # encoder "model" state — trivially cheap here, expensive in production
+    dim = DIM
+    for series in batches:
+        mat = encode_matrix([s if s is not None else "" for s in series], dim)
+        yield pd.Series(list(mat))

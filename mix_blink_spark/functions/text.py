@@ -1,0 +1,86 @@
+"""Text extraction + mention/blocking-key normalization.
+
+``extract_text`` is the byte-stable HTML→text kernel: the per-row invariant
+mandated by BASELINE.json ``input_hint`` is ``extract_text(html) == text``
+byte-for-byte for every url (verified in tests/test_text.py). It replaces
+the reference's CoNLL→JSONL prep (reference scripts/zelda.py:19-104) as the
+corpus-ingest stage.
+
+Implementation: a deterministic pure-Python extractor (regex strip of
+script/style/nav/footer, tag removal, HTML-entity unescape, whitespace
+normalization) vectorized over Arrow record batches with a pandas UDF —
+never per-row Python through Spark's row serializer.
+
+Normalization / blocking-key helpers are pure ``pyspark.sql.functions``
+column expressions (JVM-side, whole-stage-codegen'd).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+from pyspark.sql.functions import pandas_udf
+
+# Order matters and is frozen: changing any pattern changes extracted bytes.
+_RE_DROP = re.compile(
+    r"<(script|style|nav|footer|head)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
+)
+_RE_BLOCK = re.compile(r"</?(p|div|article|section|br|li|tr|h[1-6])\b[^>]*>", re.IGNORECASE)
+_RE_TAG = re.compile(r"<[^>]+>")
+_RE_WS = re.compile(r"[ \t\r\n]+")
+
+
+def extract_text_str(page: str) -> str:
+    """Deterministic extractor for one already-decoded HTML string."""
+    s = _RE_DROP.sub(" ", page)
+    s = _RE_BLOCK.sub(" ", s)
+    s = _RE_TAG.sub(" ", s)
+    s = _html.unescape(s)
+    return _RE_WS.sub(" ", s).strip()
+
+
+@pandas_udf(StringType())
+def extract_text(html_bin: pd.Series) -> pd.Series:
+    """binary html -> text, byte-stable. Arrow-batched; one Python call per
+    ~10k rows (spark.sql.execution.arrow.maxRecordsPerBatch)."""
+    decoded = html_bin.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
+    return decoded.map(lambda s: extract_text_str(s) if s is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# JVM-side normalization + blocking keys (no Python)
+
+
+def normalize_surface(col: Column) -> Column:
+    """Casefold, strip punctuation, collapse whitespace, drop corporate
+    suffixes — the canonical form fed to blocking and string scoring.
+
+    Reference analog: the reference lowercases nothing (exact surfaces into
+    the tokenizer, dataset.py:85); normalization here exists because our
+    blocking layer needs key-stable surfaces. Pure F.* so codegen applies.
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\p{L}\p{Nd}]+", " ")
+    c = F.regexp_replace(c, r"\b(inc|corp|ltd|group|co|llc|plc)\b", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def blocking_key(norm_col: Column) -> Column:
+    """Primary blocking key: first token of the normalized surface.
+
+    Deliberately coarse (recall-oriented); precision comes from pairwise
+    scoring. Hot keys (e.g. 'global') are split by salting in
+    operators/blocking.py.
+    """
+    return F.substring_index(norm_col, " ", 1)
+
+
+def sorted_token_key(norm_col: Column) -> Column:
+    """Secondary key: sorted tokens joined — catches token reorderings."""
+    return F.array_join(F.array_sort(F.split(norm_col, " ")), " ")

@@ -1,0 +1,163 @@
+"""Blocking: candidate-pair generation without the O(N²) cross join.
+
+Two key families (BASELINE.json north_star stage 1):
+
+  1. **normalized keys** — first token + sorted-token signature of the
+     normalized surface (pure column expressions, codegen'd);
+  2. **MinHash-LSH** — char-shingle minhash signatures banded into LSH
+     keys (Arrow pandas_udf; ``explode`` of the band-key array), catching
+     pairs whose *first* token was corrupted.
+
+Skew handling is explicit (north_rule): block sizes are measured, and
+blocks above ``max_block_size`` switch from all-pairs to a
+sorted-neighborhood window (sort members, pair each with its ``window``
+successors) — bounded O(size·window) instead of O(size²), deterministic,
+and pure DataFrame ops. This is the "salted repartitioning / split hot
+blocking keys" requirement: a hot key like 'global' (or 'smith') no longer
+produces a quadratic shuffle partition.
+
+At 100 TB: the pair generator shuffles on block_key; AQE skew-join
+splitting handles residual imbalance, and the size cap bounds any single
+reducer's work regardless of key distribution.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.text import blocking_key, normalize_surface, sorted_token_key
+
+DEFAULT_BANDS = 4
+DEFAULT_ROWS = 2
+DEFAULT_SHINGLE = 4
+
+
+def _minhash_band_keys(s: str, bands: int, rows: int, shingle: int) -> list[str]:
+    padded = f" {s} "
+    grams = (
+        {padded[i : i + shingle] for i in range(len(padded) - shingle + 1)}
+        if len(padded) >= shingle
+        else {padded}
+    )
+    keys = []
+    for b in range(bands):
+        sig = []
+        for r in range(rows):
+            salt = b"%d:%d" % (b, r)
+            m = min(
+                int.from_bytes(blake2b(g.encode("utf-8"), digest_size=8, key=salt).digest(), "big")
+                for g in grams
+            )
+            sig.append(format(m, "x"))
+        keys.append(f"mh{b}:" + "-".join(sig))
+    return keys
+
+
+@pandas_udf(ArrayType(StringType()))
+def minhash_band_keys(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """norm surface -> array of LSH band keys (Arrow-batched)."""
+    for series in batches:
+        yield series.map(
+            lambda s: _minhash_band_keys(s, DEFAULT_BANDS, DEFAULT_ROWS, DEFAULT_SHINGLE)
+            if s
+            else []
+        )
+
+
+def keyed_records(records: DataFrame, id_col: str, norm_col: str = "norm") -> DataFrame:
+    """(id, norm, key) — one row per (record, blocking key), all families.
+
+    ``records`` must carry a normalized-surface column; keys:
+    ``tk:<first token>``, ``st:<sorted tokens>``, ``mh<i>:<sig>``.
+    """
+    norm = F.col(norm_col)
+    keys = F.array_union(
+        F.array(
+            F.concat(F.lit("tk:"), blocking_key(norm)),
+            F.concat(F.lit("st:"), sorted_token_key(norm)),
+        ),
+        minhash_band_keys(norm),
+    )
+    return (
+        records.select(F.col(id_col).alias("rid"), norm.alias("norm"), keys.alias("keys"))
+        .withColumn("key", F.explode("keys"))
+        .drop("keys")
+    )
+
+
+def candidate_pairs(
+    keyed: DataFrame,
+    max_block_size: int = 200,
+    neighborhood: int = 8,
+) -> DataFrame:
+    """Self-join within each blocking key → deduped (a, b) candidate pairs.
+
+    Small blocks: all pairs (a < b). Oversized blocks: sorted-neighborhood
+    (each member paired with the next ``neighborhood`` members in norm
+    order) — the skew guard. Output: a, b, norm_a, norm_b (a < b), distinct
+    across all key families.
+    """
+    sizes = keyed.groupBy("key").agg(F.count("*").alias("block_n"))
+    k = keyed.join(sizes, "key")
+    # Degenerate keys (empty norm) never block.
+    k = k.filter(F.length("norm") > 0).filter(F.col("block_n") > 1)
+
+    small = k.filter(F.col("block_n") <= max_block_size)
+    a = small.select("key", F.col("rid").alias("a"), F.col("norm").alias("norm_a"))
+    b = small.select("key", F.col("rid").alias("b"), F.col("norm").alias("norm_b"))
+    small_pairs = a.join(b, "key").filter(F.col("a") < F.col("b"))
+
+    from pyspark.sql.window import Window
+
+    big = k.filter(F.col("block_n") > max_block_size)
+    win = Window.partitionBy("key").orderBy("norm", "rid")
+    ranked = big.select("key", "rid", "norm", F.row_number().over(win).alias("pos"))
+    big_pairs = (
+        ranked.alias("x")
+        .join(
+            ranked.alias("y"),
+            (F.col("x.key") == F.col("y.key"))
+            & (F.col("y.pos") > F.col("x.pos"))
+            & (F.col("y.pos") <= F.col("x.pos") + neighborhood),
+        )
+        .select(
+            F.least("x.rid", "y.rid").alias("a"),
+            F.greatest("x.rid", "y.rid").alias("b"),
+            F.when(F.col("x.rid") < F.col("y.rid"), F.col("x.norm"))
+            .otherwise(F.col("y.norm"))
+            .alias("norm_a"),
+            F.when(F.col("x.rid") < F.col("y.rid"), F.col("y.norm"))
+            .otherwise(F.col("x.norm"))
+            .alias("norm_b"),
+        )
+    )
+
+    pairs = small_pairs.select("a", "b", "norm_a", "norm_b").unionByName(big_pairs)
+    return pairs.dropDuplicates(["a", "b"])
+
+
+def cross_family_pairs(
+    left_keyed: DataFrame,
+    right_keyed: DataFrame,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Mention→entity candidate pairs: equi-join two keyed sets on blocking
+    key. The entity side is dimension-sized → broadcast (no shuffle of the
+    mention fact table beyond its own key explode)."""
+    right = right_keyed.select(
+        F.col("key"), F.col("rid").alias("b"), F.col("norm").alias("norm_b")
+    )
+    if broadcast_right:
+        right = F.broadcast(right)
+    return (
+        left_keyed.select("key", F.col("rid").alias("a"), F.col("norm").alias("norm_a"))
+        .join(right, "key")
+        .dropDuplicates(["a", "b"])
+    )

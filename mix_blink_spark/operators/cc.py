@@ -1,0 +1,116 @@
+"""Transitive clustering: connected components on the match graph
+(north_star stage 3; SURVEY.md A5 — absent in the reference, mandated by
+BASELINE.json).
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), expressed as
+DataFrame self-joins + groupBy:
+
+  large-star: for each node u, attach every neighbor v > u to
+              m = min(Γ(u) ∪ {u});
+  small-star: for each node u, attach every neighbor v ≤ u (and u) to
+              m = min of that set.
+
+Each round is two shuffles; convergence is O(log n) rounds. After
+convergence every edge is (node → component-min), which IS the cluster
+assignment. Node ids are strings; the total order is lexicographic.
+
+``checkpoint()`` truncates lineage every iteration (north_rule: without it
+the plan doubles per round and the driver OOMs planning round ~15); the
+edge count + checksum convergence test costs one small agg per round.
+
+At 100 TB scale: the match graph is far smaller than the corpus (only
+above-threshold pairs survive), components are short (entity clusters),
+and both stars shuffle on node id — AQE handles residual skew; a
+pathological celebrity node is bounded by the blocking layer's block-size
+cap upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    # symmetrize: neighborhood of u includes both directions
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nbr_min = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("mn"))
+    # attach strictly-greater neighbors to the min
+    return (
+        sym.join(nbr_min, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient edges high -> low, group by the high endpoint
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    nbr_min = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
+    attach = (
+        oriented.join(nbr_min, "src")
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .unionAll(nbr_min.select("src", F.col("mn").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return attach
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(src, dst) edge list → (member, cluster_id) assignment.
+
+    cluster_id = lexicographic min member id of the component. Isolated
+    nodes don't appear (callers union them back as singletons).
+    """
+    spark = edges.sparkSession
+    if checkpoint and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir("/tmp/mbs-checkpoints")
+
+    e = _canonical(edges)
+    e = e.localCheckpoint(eager=True) if not checkpoint else e.checkpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e))
+        e = e.checkpoint(eager=True) if checkpoint else e.localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).first()
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+
+    # converged: edges point node -> component min; min itself is a member too
+    members = e.select(F.col("src").alias("member"), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias("member"), F.col("dst").alias("cluster_id")).distinct()
+    return members.unionByName(roots).distinct()
+
+
+def clusters_with_singletons(assignment: DataFrame, all_nodes: DataFrame, id_col: str) -> DataFrame:
+    """Union singleton clusters for nodes with no surviving edge."""
+    nodes = all_nodes.select(F.col(id_col).cast("string").alias("member")).distinct()
+    missing = nodes.join(assignment, "member", "left_anti")
+    singles = missing.select("member", F.col("member").alias("cluster_id"))
+    return assignment.unionByName(singles)

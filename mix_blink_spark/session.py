@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for the linkage workload.
+
+Local testing runs ``local[N]``; the same configs are what we'd submit with
+``spark-submit --py-files`` on a real cluster. Iceberg catalog config is
+applied only when the runtime jar is present (it is not in this sandbox);
+all table IO degrades gracefully to parquet via ``plans.resume``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB / 1000 executors these become cluster-level spark-defaults;
+# values here are the local[N] analogues of the same knobs.
+_BASE_CONF = {
+    # AQE: runtime coalescing, skew-join splitting, join-strategy switching.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / mapInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Small dims (entity dictionary) must broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Deterministic timestamps in tests.
+    "spark.sql.session.timeZone": "UTC",
+    # Don't let tiny local files produce one giant partition.
+    "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "mix-blink-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract) or
+    ``local[*]``. ``shuffle_partitions`` defaults to the core count so the
+    local shuffle fan-out matches parallelism; on a real cluster this is
+    ~2-3x total cores and AQE coalesces down.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        if cpus:
+            shuffle_partitions = max(int(cpus), 4)
+        else:
+            shuffle_partitions = max(os.cpu_count() or 4, 4)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _BASE_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True if an Iceberg runtime is on the classpath (not in this sandbox)."""
+    try:
+        spark._jvm.org.apache.iceberg.Schema  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,122 @@
+"""Pages table + mention extraction (SURVEY.md S1, P1-P4, P7).
+
+``pages`` is the primary fact table (BASELINE.json input_hint):
+
+    url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING
+
+At 100 TB the table is Iceberg, partitioned by (lang, days(warc_ts)) with
+bucket(url) — partition pruning on lang/date and file skipping are free.
+In this sandbox (no Iceberg jar) it is parquet written with the same
+partition columns, so ``spark.read.parquet(...).filter(lang=...)`` still
+prunes directories.
+
+Mention spans arrive as input data (the reference consumes spans from the
+dataset JSONL — Mention TypedDict, mix_blink/data/dataset.py:13-17 — it
+never detects them); ``mentions_from_spans`` is the explode/verify stage
+(P1), and ``mark_mention`` reproduces the [START_ENT]/[END_ENT] splice
+(P2, dataset.py:85) as pure column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import blocking_key, extract_text, normalize_surface
+
+START_TOKEN = "[START_ENT]"
+END_TOKEN = "[END_ENT]"
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_pages(pages: DataFrame, path: str) -> None:
+    """Partition layout mirroring the Iceberg spec (lang, day)."""
+    (
+        pages.withColumn("warc_day", F.to_date("warc_ts"))
+        .write.mode("overwrite")
+        .partitionBy("lang", "warc_day")
+        .parquet(path)
+    )
+
+
+def with_extracted_text(pages: DataFrame) -> DataFrame:
+    """html -> extracted_text (byte-stable kernel). Column pruning matters:
+    downstream stages must select away ``html`` immediately after this."""
+    return pages.withColumn("extracted_text", extract_text(F.col("html")))
+
+
+def mentions_from_spans(pages: DataFrame, spans: DataFrame) -> DataFrame:
+    """Join char-offset spans onto pages and slice surfaces (P7:
+    ``mention = text[start:end]``, reference prediction/predict.py:39 —
+    Spark substring is 1-based).
+
+    Output: url, mention_id, start, end, surface, norm, block_key, context.
+    The heavy ``html`` column is pruned here — only ``text`` flows on.
+    """
+    m = spans.select("url", "mention_id", "start", "end").join(
+        pages.select("url", "text", "lang"), "url"
+    )
+    surface = F.expr("substring(text, start + 1, end - start)")
+    ctx_lo = F.greatest(F.col("start") - F.lit(60), F.lit(0))
+    context = F.expr("substring(text, greatest(start - 60, 0) + 1, (end - start) + 120)")
+    norm = normalize_surface(surface)
+    return m.select(
+        "url",
+        "mention_id",
+        "start",
+        "end",
+        "lang",
+        surface.alias("surface"),
+        context.alias("context"),
+        norm.alias("norm"),
+        blocking_key(norm).alias("block_key"),
+    )
+
+
+def mark_mention(pages_with_span: DataFrame, text_col: str = "text") -> DataFrame:
+    """[START_ENT]/[END_ENT] splice (P2, dataset.py:85):
+    ``text[:start] + start_tok + text[start:end] + end_tok + text[end:]``."""
+    t = F.col(text_col)
+    marked = F.concat(
+        F.expr(f"substring({text_col}, 1, start)"),
+        F.lit(START_TOKEN),
+        F.expr(f"substring({text_col}, start + 1, end - start)"),
+        F.lit(END_TOKEN),
+        F.expr(f"substring({text_col}, end + 1, length({text_col}) - end)"),
+    )
+    return pages_with_span.withColumn("marked_text", marked)
+
+
+def resolve_labels(mentions: DataFrame, dictionary_ids: DataFrame, remove_nil: bool = True) -> DataFrame:
+    """P4 label resolution (dataset.py:94-116).
+
+    remove_nil=True: silently drop labels absent from the dictionary
+    (dataset.py:100-103), then drop mentions whose label set became empty
+    (dataset.py:115-116 ``if encodings["labels"]``).
+    remove_nil=False: any unknown label raises, message-compatible with the
+    reference KeyError ("Label {x} not found in label2id mapping.").
+    """
+    ids = dictionary_ids.select(F.col("id").alias("_dict_id")).distinct()
+    id_array = ids.agg(F.collect_set("_dict_id").alias("ids"))
+    out = mentions.crossJoin(F.broadcast(id_array))
+    if remove_nil:
+        out = out.withColumn("labels", F.array_intersect(F.col("labels"), F.col("ids")))
+    else:
+        unknown = F.array_except(F.col("labels"), F.col("ids"))
+        out = out.withColumn(
+            "labels",
+            F.when(
+                F.size(unknown) > 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit("Label "),
+                        F.element_at(unknown, 1),
+                        F.lit(" not found in label2id mapping."),
+                    )
+                ),
+            ).otherwise(F.col("labels")),
+        )
+    return out.drop("ids").filter(F.size("labels") > 0)

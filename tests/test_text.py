@@ -1,0 +1,59 @@
+"""Byte-identical text extraction (BASELINE.json input_hint invariant) +
+normalization/blocking-key expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mix_blink_spark.functions.text import (
+    blocking_key,
+    extract_text,
+    extract_text_str,
+    normalize_surface,
+    sorted_token_key,
+)
+
+
+def test_extract_text_byte_identical(spark, corpus):
+    """extract_text(html) == text for every url — THE pytest invariant."""
+    pages = corpus["pages"]
+    mismatches = (
+        pages.withColumn("extracted", extract_text(F.col("html")))
+        .filter(F.col("extracted") != F.col("text"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_extract_text_drops_boilerplate():
+    html = (
+        "<!DOCTYPE html><html><head><title>t</title><script>var x=1;</script></head>"
+        "<body><nav>menu</nav><article>Hello &amp; goodbye.</article>"
+        "<footer>foot</footer></body></html>"
+    )
+    assert extract_text_str(html) == "Hello & goodbye."
+
+
+def test_extract_text_null_safe(spark):
+    df = spark.createDataFrame([(None,), (b"<p>x</p>",)], "html binary")
+    rows = df.select(extract_text("html").alias("t")).collect()
+    assert rows[0]["t"] is None
+    assert rows[1]["t"] == "x"
+
+
+def test_normalize_surface(spark):
+    df = spark.createDataFrame(
+        [("Acme Systems, Inc.",), ("GLOBAL  Dynamics Corp",), ("Datum-Robotics Ltd",)],
+        "s string",
+    )
+    out = [r["n"] for r in df.select(normalize_surface(F.col("s")).alias("n")).collect()]
+    assert out == ["acme systems", "global dynamics", "datum robotics"]
+
+
+def test_blocking_keys(spark):
+    df = spark.createDataFrame([("acme systems",), ("systems acme",)], "n string")
+    out = df.select(
+        blocking_key(F.col("n")).alias("bk"), sorted_token_key(F.col("n")).alias("sk")
+    ).collect()
+    assert out[0]["bk"] == "acme" and out[1]["bk"] == "systems"
+    assert out[0]["sk"] == out[1]["sk"] == "acme systems"
