@@ -55,17 +55,16 @@ _CITY = [
 _HOT_TOKEN = "Global"
 
 _TEMPLATES = [
-    ("{m} announced a new product line this quarter.", 0),
-    ("Analysts expect {m} to expand into new markets.", 17),
-    ("The merger between {m} and a regional supplier closed today.", 19),
-    ("Shares of {m} rose after the earnings call.", 10),
-    ("Employees at {m} ratified a new agreement.", 13),
-    ("Regulators opened an inquiry into {m} practices.", 34),
-    ("A spokesperson for {m} declined to comment.", 19),
-]
-_TEMPLATES_2 = [
-    ("{m} signed a supply deal with {n} on Friday.", 0, 30),
-    ("Talks between {m} and {n} stalled last week.", 14, 22),
+    (t, t.index("{m}"))
+    for t in [
+        "{m} announced a new product line this quarter.",
+        "Analysts expect {m} to expand into new markets.",
+        "The merger between {m} and a regional supplier closed today.",
+        "Shares of {m} rose after the earnings call.",
+        "Employees at {m} ratified a new agreement.",
+        "Regulators opened an inquiry into {m} practices.",
+        "A spokesperson for {m} declined to comment.",
+    ]
 ]
 _FILLER = [
     "Markets were mixed across the region.",

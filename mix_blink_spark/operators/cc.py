@@ -95,7 +95,7 @@ def connected_components(
         e = e.checkpoint(eager=True) if checkpoint else e.localCheckpoint(eager=True)
         sig = e.agg(
             F.count("*").alias("n"),
-            F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
         ).first()
         cur = (sig["n"], sig["h"])
         if cur == prev_sig:

@@ -1,0 +1,61 @@
+"""Blocking: key families, pair generation, hot-key skew guard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mix_blink_spark.operators.blocking import candidate_pairs, cross_family_pairs, keyed_records
+
+
+def _recs(spark, rows):
+    return spark.createDataFrame(rows, "rid string, norm string")
+
+
+def test_key_families_present(spark):
+    k = keyed_records(_recs(spark, [("r1", "acme systems")]), "rid")
+    keys = [r["key"] for r in k.collect()]
+    assert any(x.startswith("tk:") for x in keys)
+    assert any(x.startswith("st:") for x in keys)
+    assert sum(x.startswith("mh") for x in keys) == 4
+
+
+def test_typo_pair_recovered_by_lsh(spark):
+    """First-token typo breaks tk:/st: keys; minhash bands must recover."""
+    recs = _recs(spark, [("r1", "globax dynamics"), ("r2", "global dynamics")])
+    pairs = candidate_pairs(keyed_records(recs, "rid"), max_block_size=50).collect()
+    assert {(p["a"], p["b"]) for p in pairs} == {("r1", "r2")}
+
+
+def test_exact_and_token_blocking(spark):
+    recs = _recs(
+        spark,
+        [("r1", "acme systems"), ("r2", "acme systems"), ("r3", "acme robotics"), ("r4", "zeta corp")],
+    )
+    pairs = {(p["a"], p["b"]) for p in candidate_pairs(keyed_records(recs, "rid")).collect()}
+    assert ("r1", "r2") in pairs
+    assert ("r1", "r3") in pairs  # shares tk:acme
+    assert not any("r4" in p for p in pairs)
+
+
+def test_hot_key_is_bounded(spark):
+    """A block of 100 members with cap 20 must produce O(n*w), not O(n^2)."""
+    n = 100
+    recs = _recs(spark, [(f"r{i:03d}", f"global name{i:03d}") for i in range(n)])
+    keyed = keyed_records(recs, "rid").filter(F.col("key") == "tk:global")
+    pairs = candidate_pairs(keyed, max_block_size=20, neighborhood=5)
+    cnt = pairs.count()
+    assert cnt <= n * 5
+    assert cnt > 0
+    # neighbors-in-sorted-order: adjacent names must pair
+    got = {(p["a"], p["b"]) for p in pairs.collect()}
+    assert ("r000", "r001") in got
+
+
+def test_cross_family_pairs_broadcast(spark):
+    mentions = keyed_records(_recs(spark, [("m1", "acme systems"), ("m2", "other co")]), "rid")
+    ents = keyed_records(_recs(spark, [("ENT::E1", "acme systems")]), "rid")
+    pairs = cross_family_pairs(mentions, ents)
+    got = {(p["a"], p["b"]) for p in pairs.collect()}
+    assert got == {("m1", "ENT::E1")}
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

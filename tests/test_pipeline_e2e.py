@@ -1,0 +1,72 @@
+"""End-to-end pipeline: pairwise F1 ≥ 0.99 on the labeled-pairs oracle
+(the north_rule headline metric) + resume-from-checkpoint."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mix_blink_spark.fixtures import corpus_dfs
+from mix_blink_spark.operators.metrics import cluster_pairs, pairwise_prf
+from mix_blink_spark.plans.pipeline import LinkConfig, link
+from mix_blink_spark.plans.resume import StageStore
+
+
+@pytest.fixture(scope="module")
+def e2e(spark):
+    pages, ents, golds, labeled = corpus_dfs(spark, seed=7, n_pages=1500, n_entities=80)
+    for df in (pages, ents, golds, labeled):
+        df.cache().count()
+    return pages, ents, golds, labeled
+
+
+def _f1(spark, pages, ents, golds, labeled, store=None):
+    spans = golds.select("url", "mention_id", "start", "end")
+    out = link(spark, pages, spans, ents, LinkConfig(), store=store)
+    pred = cluster_pairs(out["clusters"].select("member", "cluster_id"))
+    return pairwise_prf(pred, labeled), out
+
+
+def test_pairwise_f1_target(spark, e2e):
+    pages, ents, golds, labeled = e2e
+    res, out = _f1(spark, pages, ents, golds, labeled)
+    print("PRF:", res)
+    assert res["recall"] >= 0.99, res
+    assert res["precision"] >= 0.99, res
+    assert res["f1"] >= 0.99, res
+
+
+def test_surface_extraction_matches_gold(spark, e2e):
+    """P7 substring slicing must reproduce the generator's surfaces."""
+    pages, ents, golds, _ = e2e
+    spans = golds.select("url", "mention_id", "start", "end")
+    from mix_blink_spark.plans.pipeline import build_mentions
+
+    m = build_mentions(pages, spans)
+    bad = (
+        m.join(golds.select("mention_id", F.col("surface").alias("gold_surface")), "mention_id")
+        .filter(F.col("surface") != F.col("gold_surface"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_resume_skips_completed_stages(spark, e2e, tmp_path):
+    pages, ents, golds, labeled = e2e
+    workdir = str(tmp_path / "stages")
+    store = StageStore(spark, workdir)
+    res1, _ = _f1(spark, pages, ents, golds, labeled, store=store)
+    assert store.is_done("mentions") and store.is_done("clusters")
+
+    # resume: mark one stage dirty; earlier stages must NOT recompute
+    mentions_mark = os.path.getmtime(os.path.join(workdir, "mentions.watermark.json"))
+    store.reset("clusters")
+    res2, _ = _f1(spark, pages, ents, golds, labeled, store=store)
+    assert os.path.getmtime(os.path.join(workdir, "mentions.watermark.json")) == mentions_mark
+    assert res2["f1"] == pytest.approx(res1["f1"])
+
+    # per-partition lineage metrics recorded for every stage
+    stages = {r["stage"] for r in store.metrics().select("stage").distinct().collect()}
+    assert {"mentions", "pairs_mm", "pairs_me", "edges", "clusters"} <= stages

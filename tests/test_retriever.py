@@ -1,0 +1,95 @@
+"""Retrieval parity with the reference retriever
+(/root/reference/mix_blink/retriever/dense.py, tests/test_retriever.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mix_blink_spark.functions.embed import encode_matrix
+from mix_blink_spark.operators.scoring import check_measure, make_dense_score_udf
+from mix_blink_spark.operators.topk import clamp_k, hard_negatives, knn_broadcast
+
+
+def test_unsupported_measure_contract():
+    """NotImplementedError('{measure} is not supported') — dense.py:41-42,
+    asserted by reference tests/test_retriever.py:44-56."""
+    with pytest.raises(NotImplementedError, match="dot is not supported"):
+        check_measure("dot")
+    with pytest.raises(NotImplementedError, match="cosine is not supported"):
+        make_dense_score_udf("cosine")
+
+
+def test_k_clamp_and_validation():
+    """dense.py:86-91: k<=0 raises, k>dict clamps with warning
+    (tests/test_retriever.py:131-136)."""
+    with pytest.raises(ValueError):
+        clamp_k(0, 10)
+    with pytest.warns(UserWarning):
+        assert clamp_k(100, 10) == 10
+    assert clamp_k(5, 10) == 5
+
+
+@pytest.fixture(scope="module")
+def small_index(spark):
+    names = ["Google", "Apple", "Meta", "Amazon", "Microsoft"]
+    ids = [f"0000{11 + i}" for i in range(len(names))]
+    mat = encode_matrix(names)
+    queries = spark.createDataFrame(
+        [(f"q{i}", list(map(float, encode_matrix([n])[0]))) for i, n in enumerate(["googel", "apple", "meta platforms"])],
+        "rid string, emb array<float>",
+    )
+    return queries, mat, ids, names
+
+
+def test_knn_measures_rank_differently(spark, small_index):
+    """ip / cos / l2 orderings are all computed and valid
+    (tests/test_retriever.py:150-167: measures give different distances)."""
+    queries, mat, ids, _ = small_index
+    results = {}
+    for measure in ("ip", "cos", "l2"):
+        hits = knn_broadcast(queries, mat, ids, k=5, measure=measure)
+        rows = hits.filter(F.col("rid") == "q0").orderBy("rank").collect()
+        results[measure] = [(r["hit_id"], r["score"]) for r in rows]
+        # q0 = 'googel' typo: Google must be rank 1 under every measure
+        assert rows[0]["hit_id"] == "000011", measure
+    # scores differ across measures on the same pairs
+    assert results["ip"] != results["l2"]
+    # l2 is ascending: best hit has the smallest distance
+    l2 = results["l2"]
+    assert l2[0][1] == min(s for _, s in l2)
+
+
+def test_knn_against_numpy_oracle(spark, small_index):
+    queries, mat, ids, names = small_index
+    hits = knn_broadcast(queries, mat, ids, k=3, measure="cos").collect()
+    q = encode_matrix(["googel", "apple", "meta platforms"]).astype(np.float64)
+    m = mat.astype(np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    scores = qn @ mn.T
+    for r in hits:
+        qi = int(r["rid"][1:])
+        j = ids.index(r["hit_id"])
+        assert r["score"] == pytest.approx(scores[qi, j], abs=1e-6)
+
+
+def test_hard_negatives_never_contain_golds(spark, small_index):
+    """Mined negatives exclude golds (dense.py:114-120,
+    tests/test_retriever.py:185-190)."""
+    queries, mat, ids, _ = small_index
+    golds = spark.createDataFrame(
+        [("q0", ["000011"]), ("q1", ["000012", "000015"]), ("q2", ["000013"])],
+        "rid string, labels array<string>",
+    )
+    k = 3
+    hits = knn_broadcast(queries, mat, ids, k=k + 2, measure="cos")
+    negs = hard_negatives(hits, golds, k=k)
+    joined = negs.join(golds, "rid").filter(F.array_contains("labels", F.col("hit_id")))
+    assert joined.count() == 0
+    counts = negs.groupBy("rid").count().collect()
+    assert all(r["count"] <= k for r in counts)
+    # re-ranked 1..k dense
+    ranks = [r["rank"] for r in negs.filter(F.col("rid") == "q1").orderBy("rank").collect()]
+    assert ranks == list(range(1, len(ranks) + 1))
