@@ -1,0 +1,128 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+Every formula is a pure column expression (JVM-side, codegen'd, zero
+Python) and is defined EXACTLY — each has a line-for-line SQL equivalent
+used as the DuckDB oracle in the driver's correctness gate. Counting is
+done with the substring-replacement trick ((len - len(replace))/len(pat))
+rather than regexp functions, whose semantics differ across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic per-language marker words (padded probes on ' '||lower||' ').
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "y", "en"),
+}
+
+
+def _occurrences(padded: Column, token: str) -> Column:
+    """# of occurrences of ' token ' in the padded text (overlap-free)."""
+    probe = f" {token} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(probe), F.lit(""))))
+        / F.lit(len(probe))
+    ).cast("int")
+
+
+def _padded(text: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count: size of split on one-or-more spaces."""
+    return F.size(F.split(F.trim(text), " +"))
+
+
+def word_like_count(text: Column) -> Column:
+    """BPE-ish unit count: alphanumeric runs + standalone punctuation.
+    Approximated JVM-side as tokens + punctuation marks (. , ; : ! ?)."""
+    punct = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    )
+    return (token_count(text) + punct).cast("int")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    p = _padded(text)
+    hits = None
+    for w in LANG_MARKERS[lang]:
+        occ = _occurrences(p, w)
+        hits = occ if hits is None else hits + occ
+    return (hits / F.greatest(token_count(text), F.lit(1))).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]:
+    0.4·length_score + 0.3·stopword_score + 0.3·(1 - punct_density),
+    length_score = min(n_tokens/100, 1), stopword_score = min(ratio·5, 1).
+    """
+    n = token_count(text)
+    length_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    sw = F.least(stopword_ratio(text, "en") * 5.0, F.lit(1.0))
+    punct = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    ) / F.greatest(F.length(text), F.lit(1))
+    return F.round(0.4 * length_score + 0.3 * sw + 0.3 * (1.0 - punct), 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language whose marker-word density is highest (ties → en
+    first by struct comparison order). N-gram-free heuristic, exact SQL twin."""
+    p = _padded(text)
+    scores = []
+    for lang, words in LANG_MARKERS.items():
+        s = None
+        for w in words:
+            occ = _occurrences(p, w)
+            s = occ if s is None else s + occ
+        scores.append(F.struct(s.cast("int").alias("n"), F.lit(lang).alias("lang")))
+    # greatest by (count, lang) — deterministic tie-break on lang desc;
+    # fall back to 'und' when no marker matched at all
+    best = F.greatest(*scores)
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 5) -> DataFrame:
+    """Rolling-hash document fingerprint: the lexicographic min md5 over all
+    ``w``-token windows (winnowing with a single global window). Robust to
+    local edits away from the minimizing window; portable to SQL via
+    lead() + min()."""
+    from pyspark.sql.window import Window as W
+
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    win = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(win) for i in range(1, w)]
+    # concat_ws skips nulls, so at pos 0 of a short doc the "window" is the
+    # whole text — kept as the fallback fingerprint for docs with < w tokens.
+    shingled = toks.select(
+        "id",
+        "pos",
+        F.concat_ws(" ", *parts).alias("sh"),
+        F.lead("tok", w - 1).over(win).alias("_last"),
+        F.max("pos").over(W.partitionBy("id")).alias("_maxpos"),
+    ).filter(
+        F.col("_last").isNotNull() | ((F.col("pos") == 0) & (F.col("_maxpos") < w - 1))
+    )
+    return shingled.groupBy("id").agg(F.min(F.md5("sh")).alias("fingerprint"))
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        word_like_count(t).alias("n_units"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+    )

@@ -1,0 +1,180 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+All hash-based variants use **md5 over explicit strings** (not Spark's
+murmur `hash()`/`xxhash64`) so every result is bit-reproducible in any
+engine — the DuckDB oracle in the driver's correctness gate computes the
+identical signatures. Cost note: md5-as-hex is ~2x slower than xxhash64
+per call but the dedup signatures are computed once per shingle, and at
+100 TB the dominant cost is the shuffle, not the hash.
+
+Variants (each a first-class operator):
+  - exact:            md5(text) groupBy, keep min id;
+  - n-gram Jaccard:   token-shingle set overlap via shingle equi-join;
+  - MinHash-LSH:      banded lexicographic-min md5 signatures → bucket
+                      join (the scale path: candidate pairs without the
+                      shingle-join blowup);
+  - SimHash:          per-bit majority vote over token md5 nibbles;
+  - embedding cosine: near-dup via the broadcast kNN operator.
+
+Every pair-producing operator emits canonical (a < b) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_hash, n_dups, keep_id): one row per distinct text; ``keep_id``
+    is the minimum id — the canonical survivor. Map-side partial agg makes
+    this one shuffle of (hash → partial counts), never of full texts."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).cast("string").alias("id"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+    )
+
+
+def token_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) — distinct n-token shingles per document.
+
+    Built with transform over the token array (JVM-side, no Python):
+    shingle i = tokens[i..i+n-1] joined by space.
+    """
+    toks = _tokens(F.col(text_col))
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.transform(
+        idxs, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return (
+        docs.select(F.col(id_col).cast("string").alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, jaccard) for pairs with |A∩B| / |A∪B| ≥ threshold.
+
+    Equi-join on shingle computes intersections; set sizes join back for
+    the union. Scale guard: extremely common shingles behave like hot
+    blocking keys — at 100 TB, prefilter shingles by document frequency
+    (see ``df_cap``) exactly like stopword removal.
+    """
+    sh = token_shingles(docs, n, id_col, text_col).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    bands: int = 4,
+    rows: int = 2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, band, sig): banded MinHash where h_{b,r}(s) = md5(f"{b}:{r}:{s}")
+    and the min is lexicographic over hex strings — engine-portable, no
+    integer conversion needed. sig = '-'-joined row minima of one band."""
+    sh = token_shingles(docs, n, id_col, text_col)
+    b = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    r = F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("row")
+    expanded = sh.select("id", "shingle", b).select("id", "shingle", "band", r)
+    hashed = expanded.select(
+        "id",
+        "band",
+        "row",
+        F.md5(F.concat_ws(":", F.col("band"), F.col("row"), F.col("shingle"))).alias("h"),
+    )
+    row_min = hashed.groupBy("id", "band", "row").agg(F.min("h").alias("mh"))
+    return (
+        row_min.groupBy("id", "band")
+        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("row", "mh"))).mh, "-").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    bands: int = 4,
+    rows: int = 2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any (band, sig) bucket."""
+    sig = minhash_signatures(docs, bands, rows, n, id_col, text_col)
+    return (
+        sig.alias("x")
+        .join(sig.alias("y"), ["band", "sig"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash): ``bits``-bit SimHash as a '0'/'1' string.
+
+    Bit p votes +1 iff hex digit p of md5(token) is >= 8 (high bit of the
+    nibble), summed over all tokens; bit = 1 when the vote is >= 0.
+    Pure column expressions + one groupBy — portable to the SQL oracle.
+    """
+    tok = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    pos = tok.select(
+        "id", "tok", F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("pos")
+    )
+    votes = pos.select(
+        "id",
+        "pos",
+        F.when(
+            F.substring(F.md5(F.col("tok")), F.col("pos"), 1).isin(
+                *"89abcdef"
+            ),
+            1,
+        )
+        .otherwise(-1)
+        .alias("v"),
+    )
+    per_bit = votes.groupBy("id", "pos").agg(F.sum("v").alias("s"))
+    bit = F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0"))
+    return (
+        per_bit.select("id", "pos", bit.alias("bit"))
+        .groupBy("id")
+        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("pos", "bit"))).bit, "").alias("simhash"))
+    )

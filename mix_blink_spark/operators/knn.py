@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Baseline: brute-force cosine top-k — the candidate matrix is collected and
+broadcast, each Arrow batch of queries does one BLAS matmul (reuses
+``operators.topk.knn_broadcast``, the same physical plan as the reference's
+FAISS flat index, retriever/dense.py:43-46).
+
+Scale path: **LSH-bucketed ANN** — random-hyperplane signatures (seeded,
+deterministic) assign each vector to 2^bits buckets repeated over
+``tables`` hash tables; top-k is computed per bucket and re-reduced.
+Candidate side no longer needs to fit in a broadcast: the bucket join
+shuffles both sides on (table, bucket), O(N·tables) rows, and each bucket
+scores locally. Recall is tunable via (bits, tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.window import Window
+
+from .topk import knn_broadcast
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of queries against candidates (broadcast matrix).
+
+    Output: (vec_id, hit_id, score, rank), rank 1 = best. Ties broken by
+    candidate id for determinism.
+    """
+    rows = candidates.select(F.col(id_col).cast("string"), emb_col).collect()
+    ids = [r[id_col] for r in rows]
+    mat = np.array([r[emb_col] for r in rows], dtype=np.float64)
+    q = queries.select(F.col(id_col).cast("string").alias("rid"), F.col(emb_col).alias("emb"))
+    kk = k + 1 if exclude_self else k
+    hits = knn_broadcast(q, mat, ids, k=min(kk, len(ids)), measure="cos", id_col="rid", emb_col="emb")
+    if exclude_self:
+        hits = hits.filter(F.col("rid") != F.col("hit_id"))
+        w = Window.partitionBy("rid").orderBy(F.col("score").desc(), F.col("hit_id"))
+        hits = (
+            hits.withColumn("r2", F.row_number().over(w))
+            .filter(F.col("r2") <= k)
+            .select("rid", "hit_id", "score", F.col("r2").alias("rank"))
+        )
+    return hits.withColumnRenamed("rid", id_col)
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 17) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((tables, bits, dim))
+
+
+def make_bucket_udf(dim: int, bits: int, tables: int, seed: int = 17):
+    planes = _hyperplanes(dim, bits, tables, seed)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        P = planes  # worker-local copy via closure capture (small)
+        for ser in batches:
+            m = np.stack(ser.to_numpy()).astype(np.float64)
+            out = []
+            signs = np.einsum("tbd,nd->ntb", P, m) >= 0  # (n, tables, bits)
+            weights = 1 << np.arange(bits)
+            codes = (signs * weights).sum(axis=2)  # (n, tables)
+            for row in codes:
+                out.append([f"{t}:{int(c)}" for t, c in enumerate(row)])
+            yield pd.Series(out)
+
+    return buckets
+
+
+def lsh_topk(
+    data: DataFrame,
+    k: int,
+    bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 17,
+) -> DataFrame:
+    """Approximate self-kNN: bucket join + block-local cosine + global re-rank.
+
+    Never collects the candidate set — this is the path that survives when
+    embeddings no longer fit in a broadcast (billions of rows).
+    """
+    if dim is None:
+        dim = len(data.select(emb_col).first()[0])
+    bucket_udf = make_bucket_udf(dim, bits, tables, seed)
+    tagged = data.select(
+        F.col(id_col).cast("string").alias("rid"), F.col(emb_col).alias("emb")
+    ).withColumn("bucket", F.explode(bucket_udf(F.col("emb"))))
+
+    pairs = (
+        tagged.alias("x")
+        .join(tagged.alias("y"), "bucket")
+        .filter(F.col("x.rid") != F.col("y.rid"))
+        .select(
+            F.col("x.rid").alias("rid"),
+            F.col("y.rid").alias("hit_id"),
+            F.col("x.emb").alias("emb_a"),
+            F.col("y.emb").alias("emb_b"),
+        )
+        .dropDuplicates(["rid", "hit_id"])
+    )
+
+    @F.pandas_udf("double")
+    def cos(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a_ser, b_ser in batches:
+            a = np.stack(a_ser.to_numpy()).astype(np.float64)
+            b = np.stack(b_ser.to_numpy()).astype(np.float64)
+            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+            yield pd.Series(np.einsum("ij,ij->i", a, b))
+
+    scored = pairs.withColumn("score", cos(F.col("emb_a"), F.col("emb_b")))
+    w = Window.partitionBy("rid").orderBy(F.col("score").desc(), F.col("hit_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("rid").alias(id_col), "hit_id", "score", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    data: DataFrame,
+    threshold: float = 0.95,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold (canonical a < b)."""
+    hits = brute_force_topk(data, data, k=k, id_col=id_col, emb_col=emb_col)
+    return (
+        hits.filter(F.col("score") >= threshold)
+        .select(
+            F.least(F.col(id_col), F.col("hit_id")).alias("a"),
+            F.greatest(F.col(id_col), F.col("hit_id")).alias("b"),
+            F.round("score", 4).alias("cosine"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
