@@ -73,20 +73,22 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """Pick the language whose marker-word density is highest (ties → en
-    first by struct comparison order). N-gram-free heuristic, exact SQL twin."""
+    """Pick the language whose marker-word count is highest; 'und' when no
+    marker matched. Argmax is encoded as greatest over zero-padded
+    '<count><lang>' strings (deterministic tie-break: lang descending) —
+    portable verbatim to the SQL oracle, unlike struct comparison."""
     p = _padded(text)
-    scores = []
+    keys = []
     for lang, words in LANG_MARKERS.items():
         s = None
         for w in words:
             occ = _occurrences(p, w)
             s = occ if s is None else s + occ
-        scores.append(F.struct(s.cast("int").alias("n"), F.lit(lang).alias("lang")))
-    # greatest by (count, lang) — deterministic tie-break on lang desc;
-    # fall back to 'und' when no marker matched at all
-    best = F.greatest(*scores)
-    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+        keys.append(F.concat(F.lpad(s.cast("string"), 6, "0"), F.lit(lang)))
+    best = F.greatest(*keys)
+    return F.when(F.substring(best, 1, 6) == "000000", F.lit("und")).otherwise(
+        F.substring(best, 7, 8)
+    )
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 5) -> DataFrame:
