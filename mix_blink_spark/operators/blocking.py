@@ -148,9 +148,13 @@ def cross_family_pairs(
     right_keyed: DataFrame,
     broadcast_right: bool = True,
 ) -> DataFrame:
-    """Mention→entity candidate pairs: equi-join two keyed sets on blocking
-    key. The entity side is dimension-sized → broadcast (no shuffle of the
-    mention fact table beyond its own key explode)."""
+    """Mention/surface→entity candidate pairs: equi-join two keyed sets on
+    blocking key. The entity side is dimension-sized → broadcast (no
+    shuffle of the fact side beyond its own key explode).
+
+    One entity id can carry several alias surfaces (norm_b); pairs are
+    deduped per (a, b, norm_b) so each alias is scored independently —
+    the caller's top-1 then picks the best alias of the best entity."""
     right = right_keyed.select(
         F.col("key"), F.col("rid").alias("b"), F.col("norm").alias("norm_b")
     )
@@ -159,5 +163,5 @@ def cross_family_pairs(
     return (
         left_keyed.select("key", F.col("rid").alias("a"), F.col("norm").alias("norm_a"))
         .join(right, "key")
-        .dropDuplicates(["a", "b"])
+        .dropDuplicates(["a", "b", "norm_b"])
     )

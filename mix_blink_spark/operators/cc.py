@@ -76,28 +76,40 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
-    checkpoint: bool = True,
+    checkpoint: bool = False,
+    verbose: bool = False,
 ) -> DataFrame:
     """(src, dst) edge list → (member, cluster_id) assignment.
 
     cluster_id = lexicographic min member id of the component. Isolated
     nodes don't appear (callers union them back as singletons).
+
+    ``checkpoint=False`` uses ``localCheckpoint`` — same lineage truncation
+    per iteration, executor-memory storage (fast). ``checkpoint=True``
+    writes reliable checkpoints to the configured checkpoint dir — what a
+    production run uses so a failed iteration restarts from the last one.
     """
+    import time as _time
+
     spark = edges.sparkSession
     if checkpoint and spark.sparkContext.getCheckpointDir() is None:
         spark.sparkContext.setCheckpointDir("/tmp/mbs-checkpoints")
 
-    e = _canonical(edges)
-    e = e.localCheckpoint(eager=True) if not checkpoint else e.checkpoint(eager=True)
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint else df.localCheckpoint(eager=True)
+
+    e = _ckpt(_canonical(edges))
     prev_sig = None
-    for _ in range(max_iterations):
-        e = _small_star(_large_star(e))
-        e = e.checkpoint(eager=True) if checkpoint else e.localCheckpoint(eager=True)
+    for it in range(max_iterations):
+        t0 = _time.monotonic()
+        e = _ckpt(_small_star(_large_star(e)))
         sig = e.agg(
             F.count("*").alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
         ).first()
         cur = (sig["n"], sig["h"])
+        if verbose:
+            print(f"[cc] iter {it}: {cur[0]} edges, {_time.monotonic() - t0:.2f}s")
         if cur == prev_sig:
             break
         prev_sig = cur

@@ -4,14 +4,19 @@
                                                      ├─ block join ─► pairs ─► score ─► edges ─► CC ─► clusters
     entities ──NIL+surfaces──keys──► (broadcast) ────┘
 
-Graph construction:
-  - **mention↔mention** edges: combined score ≥ ``tau_mm`` within blocks;
-  - **mention→entity anchor** edges: each mention's top-1 entity surface
-    with score ≥ ``tau_ent``. Entity nodes are namespaced ``ENT::<id>`` so
-    they can't collide with mention ids, and only the *top-1* entity edge
-    is kept per mention — one mention can therefore never transitively
-    merge two dictionary entities (the reference links each mention to
-    exactly one best entity the same way, prediction/predict.py:40-52).
+Graph construction (surface-form factored — the 100 TB-critical design):
+  - every mention first collapses to its **normalized-surface node**
+    ``NORM::md5(norm)`` via a linear edge. Pairwise work then runs over
+    *distinct surfaces*, never over mentions: a popular entity mentioned a
+    million times contributes ONE node to the quadratic stage instead of a
+    10^12-edge clique. Cluster membership flows back through the
+    mention→surface edges during connected components.
+  - **surface↔surface** edges: combined score ≥ ``tau_mm`` within blocks;
+  - **surface→entity anchor** edges: top-1 entity with score ≥
+    ``tau_ent``. Entity nodes are namespaced ``ENT::<id>``; only the
+    top-1 edge is kept per surface, so no surface can transitively merge
+    two dictionary entities (the reference links each mention to exactly
+    one best entity the same way, prediction/predict.py:40-52).
 
 Anchors give the cluster step the dictionary's alias knowledge (the
 "Facebook"→Meta analog in the reference toy data, dataset_toy.jsonl:3):
@@ -42,10 +47,11 @@ from ..operators.blocking import candidate_pairs, cross_family_pairs, keyed_reco
 from ..operators.cc import clusters_with_singletons, connected_components
 from ..operators.scoring import check_measure, score_pairs
 from ..sources.dictionary import explode_surfaces, with_nil
-from ..sources.pages import mentions_from_spans
+from ..sources.pages import mentions_from_spans, with_extracted_text
 from .resume import StageStore
 
 ENT_PREFIX = "ENT::"
+NORM_PREFIX = "NORM::"
 
 
 @dataclass
@@ -71,7 +77,15 @@ def _attach_embs(pairs: DataFrame, embs_a: DataFrame, embs_b: DataFrame) -> Data
     return pairs.join(ea, "a").join(eb, "b")
 
 
-def build_mentions(pages: DataFrame, spans: DataFrame) -> DataFrame:
+def build_mentions(pages: DataFrame, spans: DataFrame, from_html: bool = True) -> DataFrame:
+    """Extract text from ``html`` (the byte-stable kernel — the pipeline's
+    own text, never trusting a pre-extracted column) and slice mention
+    surfaces. ``html`` is pruned immediately after extraction."""
+    if from_html and "html" in pages.columns:
+        pages = (
+            with_extracted_text(pages)
+            .select("url", F.col("extracted_text").alias("text"), "lang")
+        )
     return mentions_from_spans(pages, spans)
 
 
@@ -82,6 +96,7 @@ def link(
     entities: DataFrame,
     cfg: LinkConfig | None = None,
     store: StageStore | None = None,
+    verbose: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline. With a ``store``, every stage is resumable.
 
@@ -91,10 +106,22 @@ def link(
     """
     cfg = cfg or LinkConfig()
 
+    import time as _time
+
     def stage(name: str, fn):
-        return store.run(name, fn) if store is not None else fn()
+        t0 = _time.monotonic()
+        out = store.run(name, fn) if store is not None else fn()
+        if verbose:
+            print(f"[link] stage {name}: {_time.monotonic() - t0:.2f}s")
+        return out
+
+    def mark(name: str, t0: float) -> None:
+        if verbose:
+            print(f"[link] {name}: {_time.monotonic() - t0:.2f}s")
 
     mentions = stage("mentions", lambda: build_mentions(pages, spans))
+    if store is None:
+        mentions = mentions.persist()
 
     # dimension side: dictionary surfaces (with NIL dropped from surfaces)
     ent_surfaces = (
@@ -104,28 +131,56 @@ def link(
         .select("rid", "id", "surface", "norm")
     )
 
-    m_records = mentions.select(F.col("mention_id").alias("rid"), "norm")
-    m_keyed = keyed_records(m_records, "rid").persist()
-    e_keyed = keyed_records(ent_surfaces, "rid")
+    # surface-form factoring: all quadratic work happens on DISTINCT norms
+    def make_surfaces():
+        return (
+            mentions.select("norm")
+            .filter(F.length("norm") > 0)
+            .distinct()
+            .withColumn("rid", F.concat(F.lit(NORM_PREFIX), F.md5("norm")))
+        )
 
-    m_embs = stage("mention_embs", lambda: _with_emb(m_records.distinct()))
-    e_embs = _with_emb(ent_surfaces.select("rid", "norm").distinct())
+    # eager-materialize shared subtrees so the mm/me branches of one action
+    # don't race-recompute them (persist alone is lazy)
+    _t0 = _time.monotonic()
+    surfaces = stage("surfaces", make_surfaces)
+    # dimension-scale data runs on few partitions: each Python-UDF task has
+    # a fixed Arrow/worker cost, so 625 surfaces across 32 partitions is
+    # ~10x slower than across 1 (measured); fact-scale stages keep full
+    # parallelism
+    n_surf = surfaces.count()
+    p_surf = max(1, min(spark.sparkContext.defaultParallelism, n_surf // 2000 + 1))
+    surfaces = surfaces.coalesce(p_surf).persist()
+    surfaces.count()
+    mark(f"surfaces materialize (n={n_surf}, p={p_surf})", _t0)
+
+    _t0 = _time.monotonic()
+    s_keyed = keyed_records(surfaces, "rid").persist()
+    e_keyed = keyed_records(ent_surfaces, "rid")
+    s_keyed.count()
+
+    s_embs = _with_emb(surfaces.select("rid", "norm")).persist()
+    s_embs.count()
+    mark("keys+embs materialize", _t0)
 
     def mm_pairs():
-        p = candidate_pairs(m_keyed, cfg.max_block_size, cfg.neighborhood)
-        p = _attach_embs(p, m_embs, m_embs)
+        p = candidate_pairs(s_keyed, cfg.max_block_size, cfg.neighborhood)
+        p = _attach_embs(p, s_embs, s_embs)
         return score_pairs(p, cfg.measure, cfg.dense_weight).select(
             "a", "b", "dense", "jw", "lev", "score"
         )
 
     def me_pairs():
-        p = cross_family_pairs(m_keyed, e_keyed)
-        p = _attach_embs(p, m_embs, e_embs)
+        # entity aliases scored independently: emb_b encoded from the alias
+        # norm carried on the pair row (entity rid alone is not unique)
+        p = cross_family_pairs(s_keyed, e_keyed)
+        ea = s_embs.select(F.col("rid").alias("a"), F.col("emb").alias("emb_a"))
+        p = p.join(ea, "a").withColumn("emb_b", encode(F.col("norm_b")))
         scored = score_pairs(p, cfg.measure, cfg.dense_weight)
-        # top-1 entity per mention, deterministic tie-break on entity id
+        # top-1 entity per surface, deterministic tie-break on entity id
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy("a").orderBy(F.col("score").desc(), F.col("b"))
+        w = Window.partitionBy("a").orderBy(F.col("score").desc(), F.col("b"), F.col("norm_b"))
         return (
             scored.withColumn("rk", F.row_number().over(w))
             .filter((F.col("rk") == 1) & (F.col("score") >= cfg.tau_ent))
@@ -136,6 +191,9 @@ def link(
     pairs_me = stage("pairs_me", me_pairs)
 
     def make_edges():
+        # surface/entity graph only — mentions are projected back after CC
+        # via their surface node, so the iterative stage runs on a graph
+        # ~|distinct surfaces|, independent of corpus size
         mm = pairs_mm.filter(F.col("score") >= cfg.tau_mm).select(
             F.col("a").alias("src"), F.col("b").alias("dst")
         )
@@ -145,14 +203,34 @@ def link(
     edges = stage("edges", make_edges)
 
     def cluster():
-        assignment = connected_components(edges)
-        # entity anchors are graph nodes, not members of the output
-        mention_nodes = mentions.select(F.col("mention_id").alias("member"))
-        full = clusters_with_singletons(assignment, mentions, "mention_id")
-        return full.join(mention_nodes, "member")  # drop ENT:: rows
+        # reliable checkpoints only in resumable (store) mode; localCheckpoint
+        # truncates lineage identically for in-session runs
+        assignment = connected_components(edges, checkpoint=store is not None, verbose=verbose)
+        surf_assign = (
+            surfaces.join(assignment.withColumnRenamed("member", "rid"), "rid", "left")
+            .select("norm", F.coalesce("cluster_id", F.col("rid")).alias("cluster_id"))
+        )
+        m = mentions.select("mention_id", "norm")
+        with_norm = (
+            m.filter(F.length("norm") > 0)
+            .join(surf_assign, "norm")
+            .select(F.col("mention_id").alias("member"), "cluster_id")
+        )
+        # empty-norm mentions: singletons
+        empties = m.filter(F.length("norm") == 0).select(
+            F.col("mention_id").alias("member"), F.col("mention_id").alias("cluster_id")
+        )
+        return with_norm.unionByName(empties)
 
+    _t0 = _time.monotonic()
     clusters = stage("clusters", cluster)
-    m_keyed.unpersist()
+    mark("clusters stage", _t0)
+    if store is None:
+        # materialize before dropping upstream caches (clusters is lazy here)
+        clusters = clusters.persist()
+        clusters.count()
+    for df in (surfaces, s_keyed, s_embs):
+        df.unpersist()
 
     return {
         "mentions": mentions,
