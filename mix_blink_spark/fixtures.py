@@ -137,13 +137,33 @@ def make_entities(rng: random.Random, n: int) -> list[Entity]:
     return out
 
 
-def _render_html(title: str, text: str) -> bytes:
-    """Template page. ``extract_text`` must invert this byte-identically."""
+def _render_html(title: str, text: str, boiler_kb: int = 0, rng: random.Random | None = None) -> bytes:
+    """Template page. ``extract_text`` must invert this byte-identically.
+
+    ``boiler_kb`` appends that many KB of script/style/comment boilerplate
+    (stripped by extraction, so the invariant holds) — bench corpora use it
+    to give pages realistic Common-Crawl weight so per-page extraction cost
+    is honest.
+    """
     body = _html.escape(text, quote=False)
+    boiler = ""
+    if boiler_kb > 0:
+        r = rng or random.Random(len(text))
+        unit = (
+            "<script>var a%d=%d;function f%d(x){return x*%d+%d;}</script>"
+            "<style>.c%d{margin:%dpx;padding:%dpx;color:#%06x;}</style>"
+        )
+        parts = []
+        total = 0
+        while total < boiler_kb * 1024:
+            s = unit % tuple(r.randrange(1 << 20) for _ in range(9))
+            parts.append(s)
+            total += len(s)
+        boiler = "".join(parts)
     page = (
         "<!DOCTYPE html><html><head><meta charset=\"utf-8\">"
         f"<title>{_html.escape(title, quote=False)}</title>"
-        "<script>var x=1;</script></head>"
+        f"<script>var x=1;</script>{boiler}</head>"
         f"<body><nav>home | about</nav><article>{body}</article>"
         "<footer>(c) example</footer></body></html>"
     )
@@ -264,6 +284,104 @@ def labeled_pairs(mentions_gold: list[dict], max_negatives_per_pos: int = 3, see
         seen.add((a, b))
         neg.append({"mention_a": a, "mention_b": b, "is_match": False})
     return pos + neg
+
+
+# ---------------------------------------------------------------------------
+# distributed generation (bench scale): per-page independent RNG so page i
+# is reproducible regardless of partitioning — the generator itself scales
+# like the pipeline it feeds
+
+
+def _gen_page(
+    i: int, seed: int, entities: list[Entity], nil_names: list[str], boiler_kb: int = 0
+) -> dict:
+    rng = random.Random((seed << 24) ^ i)
+    url = f"https://site{i % 37}.example/page/{i}"
+    ts = EPOCH + timedelta(seconds=137 * i)
+    lang = _LANGS[rng.randrange(len(_LANGS))]
+    roll = rng.random()
+    page_mentions: list[tuple[str, list[str]]] = []
+    if roll < 0.70:
+        for _ in range(rng.randrange(1, 4)):
+            ent = rng.choice(entities)
+            surface = rng.choice(ent.surfaces())
+            labels = [ent.id] if rng.random() >= 0.05 else [ent.id, NIL_ID]
+            page_mentions.append((surface, labels))
+    elif roll < 0.80:
+        page_mentions.append((rng.choice(nil_names), [NIL_ID]))
+
+    text_parts = [rng.choice(_FILLER)]
+    offset = len(text_parts[0]) + 1
+    mentions = []
+    for j, (surface, labels) in enumerate(page_mentions):
+        tmpl, rel = rng.choice(_TEMPLATES)
+        sent = tmpl.format(m=surface)
+        mentions.append(
+            {
+                "mention_id": f"{url}#m{j}",
+                "start": offset + rel,
+                "end": offset + rel + len(surface),
+                "surface": surface,
+                "labels": labels,
+            }
+        )
+        text_parts.append(sent)
+        offset += len(sent) + 1
+    text_parts.append(rng.choice(_FILLER))
+    text = " ".join(text_parts)
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": _render_html(f"page {i}", text, boiler_kb=boiler_kb, rng=rng),
+        "text": text,
+        "lang": lang,
+        "mentions": mentions,
+    }
+
+
+CORPUS_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "mentions array<struct<mention_id:string, start:int, end:int, "
+    "surface:string, labels:array<string>>>"
+)
+
+
+def distributed_corpus(spark, n_pages: int, n_entities: int = 300, seed: int = 11, boiler_kb: int = 0):
+    """(corpus_df, entities_df): corpus generated executor-side via
+    mapInPandas over index ranges; entity catalog broadcast from the driver
+    (dimension-sized). Page i is identical under any partitioning."""
+    import pandas as pd
+
+    rng = random.Random(seed)
+    entities = make_entities(rng, n_entities)
+    nil_names = [
+        f"{rng.choice(_FIRST)}{rng.choice(_SECOND)}X{j}" for j in range(max(3, n_entities // 5))
+    ]
+    bc = spark.sparkContext.broadcast((entities, nil_names))
+
+    def gen(batches):
+        ents_l, nils_l = bc.value
+        for pdf in batches:
+            rows = [_gen_page(int(i), seed, ents_l, nils_l, boiler_kb) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            out["mentions"] = out["mentions"].map(
+                lambda ms: [
+                    (m["mention_id"], m["start"], m["end"], m["surface"], m["labels"])
+                    for m in ms
+                ]
+            )
+            yield out
+
+    corpus = (
+        spark.range(n_pages)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, schema=CORPUS_SCHEMA)
+    )
+    ents_df = spark.createDataFrame(
+        [(e.id, e.name, e.description, e.aliases) for e in entities],
+        schema=ENTITIES_SCHEMA,
+    )
+    return corpus, ents_df
 
 
 # ---------------------------------------------------------------------------

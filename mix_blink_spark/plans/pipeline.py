@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from ..functions.embed import encode
 from ..functions.text import normalize_surface
 from ..operators.blocking import candidate_pairs, cross_family_pairs, keyed_records
-from ..operators.cc import clusters_with_singletons, connected_components
+from ..operators.cc import connected_components
 from ..operators.scoring import check_measure, score_pairs
 from ..sources.dictionary import explode_surfaces, with_nil
 from ..sources.pages import mentions_from_spans, with_extracted_text
@@ -143,15 +143,18 @@ def link(
     # eager-materialize shared subtrees so the mm/me branches of one action
     # don't race-recompute them (persist alone is lazy)
     _t0 = _time.monotonic()
-    surfaces = stage("surfaces", make_surfaces)
+    surfaces0 = stage("surfaces", make_surfaces).persist()
+    # single materialization of the heavy upstream (scan+extract+join):
+    # count AFTER persist, then repartition reads from cache
+    n_surf = surfaces0.count()
     # dimension-scale data runs on few partitions: each Python-UDF task has
     # a fixed Arrow/worker cost, so 625 surfaces across 32 partitions is
     # ~10x slower than across 1 (measured); fact-scale stages keep full
     # parallelism
-    n_surf = surfaces.count()
     p_surf = max(1, min(spark.sparkContext.defaultParallelism, n_surf // 2000 + 1))
-    surfaces = surfaces.coalesce(p_surf).persist()
+    surfaces = surfaces0.coalesce(p_surf).persist()
     surfaces.count()
+    surfaces0.unpersist()
     mark(f"surfaces materialize (n={n_surf}, p={p_surf})", _t0)
 
     _t0 = _time.monotonic()

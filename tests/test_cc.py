@@ -32,9 +32,13 @@ def _uf_oracle(edges, nodes):
     return out
 
 
-def _run(spark, edges):
+def _run(spark, edges, threshold=0):
+    # threshold=0 pins the DISTRIBUTED large-star/small-star path
     df = spark.createDataFrame(edges, "src string, dst string")
-    return {r["member"]: r["cluster_id"] for r in connected_components(df).collect()}
+    return {
+        r["member"]: r["cluster_id"]
+        for r in connected_components(df, small_graph_threshold=threshold).collect()
+    }
 
 
 def test_path_graph_single_component(spark):
@@ -59,11 +63,22 @@ def test_random_graph_matches_union_find(spark):
     oracle = _uf_oracle(edges, nodes)
     df = spark.createDataFrame(edges, "src string, dst string")
     assign = clusters_with_singletons(
-        connected_components(df), df.selectExpr("src as id").union(df.selectExpr("dst")), "id"
+        connected_components(df, small_graph_threshold=0),
+        df.selectExpr("src as id").union(df.selectExpr("dst")),
+        "id",
     )
     got = {r["member"]: r["cluster_id"] for r in assign.collect()}
     touched = {n for e in edges for n in e}
     assert {n: got[n] for n in touched} == {n: oracle[n] for n in touched}
+
+
+def test_both_paths_agree(spark):
+    rng = random.Random(77)
+    nodes = [f"n{i:03d}" for i in range(80)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(90)]
+    distributed = _run(spark, edges, threshold=0)
+    local = _run(spark, edges, threshold=10**6)
+    assert distributed == local
 
 
 def test_duplicate_and_self_edges(spark):
