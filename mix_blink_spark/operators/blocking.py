@@ -92,6 +92,25 @@ def keyed_records(records: DataFrame, id_col: str, norm_col: str = "norm") -> Da
     )
 
 
+def with_salt(df: DataFrame, key_col: str, buckets: int = 16, salt_col: str = "_salt") -> DataFrame:
+    """Salted repartitioning for hot keys (north_rule): append a
+    deterministic salt derived from the row's id so a hot key spreads over
+    ``buckets`` reducers. Two-phase aggregations group by (key, salt) then
+    by key; salted joins replicate the small side per salt value."""
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col("rid")), F.lit(buckets)))
+
+
+def block_sizes_salted(keyed: DataFrame, buckets: int = 16) -> DataFrame:
+    """Block-size histogram computed as a two-phase (salted) aggregation:
+    phase 1 groups by (key, salt) — a hot key's rows spread over
+    ``buckets`` reducers instead of one — phase 2 sums the partials.
+    Identical result to a plain groupBy(key).count(); skew-proof shuffle.
+    """
+    salted = with_salt(keyed, "key", buckets)
+    partial = salted.groupBy("key", "_salt").agg(F.count("*").alias("c"))
+    return partial.groupBy("key").agg(F.sum("c").alias("block_n"))
+
+
 def candidate_pairs(
     keyed: DataFrame,
     max_block_size: int = 200,
@@ -104,7 +123,7 @@ def candidate_pairs(
     order) — the skew guard. Output: a, b, norm_a, norm_b (a < b), distinct
     across all key families.
     """
-    sizes = keyed.groupBy("key").agg(F.count("*").alias("block_n"))
+    sizes = block_sizes_salted(keyed)
     k = keyed.join(sizes, "key")
     # Degenerate keys (empty norm) never block.
     k = k.filter(F.length("norm") > 0).filter(F.col("block_n") > 1)

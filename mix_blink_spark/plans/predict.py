@@ -1,0 +1,103 @@
+"""The reference's flagship read path re-expressed (SURVEY.md §3.1):
+
+    blink_eval:  pages → mentions → encode → kNN(k=100) vs entity index
+                 → best-rank counters → R@1/10/50/100 + MRR
+    predict:     top-5 per mention with {name, id, similarity(4dp),
+                 description[:300]}  (prediction/predict.py:40-52)
+
+The entity index is the broadcast embedding matrix (J1): one row per
+dictionary entry, encoded from the composed entity text's name part.
+With a production encoder the same seam encodes the full
+``name + [ENT] + description`` string (dictionary.py:99-103); the
+deterministic trigram stand-in uses the normalized name+alias surfaces,
+taking each entity's best-scoring surface (max over aliases — the
+retrieval-relevant upper bound a trained bi-encoder approximates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.embed import encode, encode_matrix
+from ..functions.text import normalize_surface
+from ..operators.metrics import best_ranks, recall_at_k
+from ..operators.topk import knn_broadcast, predictions_payload
+from ..sources.dictionary import explode_surfaces, with_nil
+from .pipeline import build_mentions
+
+
+def entity_index(entities: DataFrame) -> tuple[np.ndarray, list[str]]:
+    """(matrix, ids): one row per (entity, surface) — ids repeat per alias
+    so the kNN layer scores every alias and the caller dedups to the best
+    one (reference analog: one row per entity; aliases are our addition)."""
+    rows = (
+        explode_surfaces(with_nil(entities))
+        .withColumn("norm", normalize_surface(F.col("surface")))
+        .select("id", "norm")
+        .collect()
+    )
+    ids = [r["id"] for r in rows]
+    mat = encode_matrix([r["norm"] for r in rows])
+    return mat, ids
+
+
+def _mention_hits(
+    spark: SparkSession,
+    pages: DataFrame,
+    spans: DataFrame,
+    entities: DataFrame,
+    k: int,
+    measure: str,
+) -> DataFrame:
+    """(rid=mention_id, hit_id=entity_id, score, rank) — per-alias hits
+    deduped to each entity's best alias, then re-ranked."""
+    from pyspark.sql.window import Window
+
+    mat, ids = entity_index(entities)
+    mentions = build_mentions(pages, spans).select(
+        F.col("mention_id").alias("rid"), "norm"
+    )
+    m_emb = mentions.withColumn("emb", encode(F.col("norm")))
+    # search deep enough that per-entity dedup still leaves k entities
+    fanout = max(2, len(ids) // max(1, len(set(ids))))
+    raw = knn_broadcast(m_emb, mat, ids, k=min(k * fanout, len(ids)), measure=measure)
+    best_alias = raw.groupBy("rid", "hit_id").agg(F.max("score").alias("score"))
+    order = F.col("score").asc() if measure == "l2" else F.col("score").desc()
+    w = Window.partitionBy("rid").orderBy(order, F.col("hit_id"))
+    return (
+        best_alias.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def predict(
+    spark: SparkSession,
+    pages: DataFrame,
+    spans: DataFrame,
+    entities: DataFrame,
+    top_k: int = 5,
+    measure: str = "ip",
+) -> DataFrame:
+    """Reference predict: top-5 entities per mention, 4-dp similarity,
+    300-char description (predict.py:23,46-47)."""
+    hits = _mention_hits(spark, pages, spans, entities, top_k, measure)
+    return predictions_payload(hits, with_nil(entities), top_k=top_k)
+
+
+def evaluate(
+    spark: SparkSession,
+    pages: DataFrame,
+    spans: DataFrame,
+    entities: DataFrame,
+    golds: DataFrame,
+    k: int = 100,
+    measure: str = "ip",
+) -> DataFrame:
+    """Reference blink_eval: R@1/10/50/100 + MRR over gold labels
+    (evaluation/eval.py:17-59 formulas via operators/metrics)."""
+    hits = _mention_hits(spark, pages, spans, entities, min(k, 100), measure)
+    g = golds.select(F.col("mention_id").alias("rid"), "labels")
+    best = best_ranks(hits, g)
+    return recall_at_k(best, ks=(1, 10, 50, 100))

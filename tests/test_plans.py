@@ -1,0 +1,76 @@
+"""Physical-plan hygiene: pushdown, pruning, broadcast, salting — the
+properties that decide whether the same plan survives a 100x scale-up."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mix_blink_spark.operators.blocking import block_sizes_salted, keyed_records
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+    # column pruning: text (the wide column) must not be read
+    readschema = plan.split("ReadSchema")[1][:300]
+    assert "text" not in readschema
+
+
+def test_dimension_join_broadcasts(spark):
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    r = spark.read.parquet(f"{SF}/region.parquet")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_html_pruned_after_extraction(spark, corpus):
+    """The binary html column must not flow past text extraction."""
+    from mix_blink_spark.plans.pipeline import build_mentions
+
+    pages = corpus["pages"]
+    golds = corpus["mentions_gold"]
+    spans = golds.select("url", "mention_id", "start", "end")
+    m = build_mentions(pages, spans).select("mention_id", "norm")
+    plan = _plan(m)
+    # html appears only inside the extraction's own project, never in a
+    # shuffle exchange (would ship GBs at scale)
+    exchange_sections = [s for s in plan.split("Exchange") if s is not plan]
+    for sec in exchange_sections:
+        head = sec[:400]
+        assert "html" not in head, "html column crossed a shuffle boundary"
+
+
+def test_salted_block_sizes_match_plain(spark):
+    recs = spark.createDataFrame(
+        [(f"r{i}", "hot" if i % 2 else f"cold{i}") for i in range(200)],
+        "rid string, norm string",
+    )
+    keyed = keyed_records(recs, "rid")
+    plain = {r["key"]: r["n"] for r in keyed.groupBy("key").agg(F.count("*").alias("n")).collect()}
+    salted = {r["key"]: r["block_n"] for r in block_sizes_salted(keyed, buckets=8).collect()}
+    assert salted == plain
+
+
+def test_whole_stage_codegen_on_jvm_path(spark):
+    """Normalization/blocking keys are pure column expressions — they must
+    sit inside a WholeStageCodegen span, not a Python runner."""
+    from mix_blink_spark.functions.text import blocking_key, normalize_surface
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        blocking_key(normalize_surface(F.col("text"))).alias("k")
+    )
+    plan = _plan(df)
+    assert "*(1)" in plan  # WholeStageCodegen span marker
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
