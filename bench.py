@@ -121,8 +121,8 @@ def calibrate_hw(levels: tuple[int, int]) -> dict[str, float]:
     ents = make_entities(rng, 50)
     global _CAL_PAGES  # inherited by forked workers, not pickled per-call
     _CAL_PAGES = [
-        _gen_page(i, ER_SEED, ents, ["x"], ER_BOILER_KB)["html"].decode() for i in range(150)
-    ]
+        _gen_page(i, ER_SEED, ents, ["x"], ER_BOILER_KB)["html"].decode() for i in range(200)
+    ] * 6  # ~1s serial so pool noise stays <5%
     t0 = time.monotonic()
     _cal_work(0)
     serial = time.monotonic() - t0
