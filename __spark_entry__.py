@@ -77,6 +77,20 @@ def q_p2_mention_marking(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", marked.alias("marked"))
 
 
+def q_p4_label_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """P4: array_intersect label resolution + empty-drop (dataset.py:94-116
+    shape: labels ∩ dictionary, drop rows whose set empties). Size-only
+    output (array ordering differs across engines)."""
+    d = _t(spark, sf, "documents")
+    labels = F.array(F.col("lang"), F.col("source"))
+    known = F.array(*[F.lit(x) for x in ("en", "de", "fr", "src1", "src2", "src3")])
+    resolved = F.array_intersect(labels, known)
+    return (
+        d.select("doc_id", F.size(resolved).alias("n_labels"))
+        .filter(F.col("n_labels") > 0)
+    )
+
+
 def q_p5_entity_composition(spark: SparkSession, sf: str) -> DataFrame:
     """P5: name+[ENT]+description with empty-description fallback
     (dictionary.py:99-103), demonstrated on the part dimension."""
@@ -364,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_scan_filter": q_s1_scan_filter,
         "p1_explode_tokens": q_p1_explode_tokens,
         "p2_mention_marking": q_p2_mention_marking,
+        "p4_label_resolution": q_p4_label_resolution,
         "p5_entity_composition": q_p5_entity_composition,
         "p6_dict_lookup": q_p6_dict_lookup,
         "p7_surface_slice": q_p7_surface_slice,
@@ -408,6 +423,14 @@ def oracle_sql() -> dict[str, str]:
                    substr(text,1,10) || '[START_ENT]' || substr(text,11,5)
                    || '[END_ENT]' || substr(text,16,length(text)-15) AS marked
             FROM documents WHERE n_chars >= 40
+        """,
+        "p4_label_resolution": """
+            SELECT doc_id,
+                   CAST(len(list_intersect([lang, source],
+                       ['en','de','fr','src1','src2','src3'])) AS INT) AS n_labels
+            FROM documents
+            WHERE len(list_intersect([lang, source],
+                      ['en','de','fr','src1','src2','src3'])) > 0
         """,
         "p5_entity_composition": """
             SELECT p_partkey,

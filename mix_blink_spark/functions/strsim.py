@@ -22,12 +22,14 @@ from pyspark.sql.functions import pandas_udf
 
 
 def jaro(s1: str, s2: str) -> float:
-    """Plain Jaro similarity (match window floor(max/2)-1, transpositions/2)."""
-    if s1 == s2:
-        return 1.0
+    """Plain Jaro similarity (match window floor(max/2)-1, transpositions/2).
+    Either side empty → 0.0, including both-empty (DuckDB convention, so the
+    oracle parity is exact)."""
     l1, l2 = len(s1), len(s2)
     if l1 == 0 or l2 == 0:
         return 0.0
+    if s1 == s2:
+        return 1.0
     window = max(l1, l2) // 2 - 1
     if window < 0:
         window = 0

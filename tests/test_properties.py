@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the pure kernels — the pieces
+whose correctness everything distributed sits on."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mix_blink_spark.functions.embed import encode_one
+from mix_blink_spark.functions.strsim import jaro, jaro_winkler
+from mix_blink_spark.functions.text import extract_text_str
+from mix_blink_spark.operators.blocking import _minhash_band_keys
+from mix_blink_spark.operators.cc import _unionfind_local
+
+texts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts, texts)
+def test_jw_properties(a, b):
+    v = jaro_winkler(a, b)
+    assert 0.0 <= v <= 1.0
+    assert jaro_winkler(b, a) == v or abs(jaro_winkler(b, a) - v) < 1e-12
+    assert jaro_winkler(a, a) == 1.0 or a == ""
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdefgh ", min_size=0, max_size=30),
+       st.text(alphabet="abcdefgh ", min_size=0, max_size=30))
+def test_jw_matches_duckdb(a, b):
+    expected = duckdb.sql("SELECT jaro_winkler_similarity(?, ?)", params=[a, b]).fetchone()[0]
+    assert abs(jaro_winkler(a, b) - expected) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_encode_unit_norm_and_deterministic(s):
+    v1 = encode_one(s)
+    v2 = encode_one(s)
+    assert (v1 == v2).all()
+    n = float((v1.astype("float64") ** 2).sum()) ** 0.5
+    assert abs(n - 1.0) < 1e-5 or n == 0.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdef ", min_size=1, max_size=40))
+def test_minhash_band_keys_stable(s):
+    k1 = _minhash_band_keys(s, 4, 2, 4)
+    k2 = _minhash_band_keys(s, 4, 2, 4)
+    assert k1 == k2 and len(k1) == 4
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200))
+def test_extract_text_roundtrip_on_escaped_body(body):
+    """Any generated page must extract back to its normalized body — the
+    fixture invariant generalized to arbitrary printable text."""
+    import html as _h
+    import re
+
+    page = f"<html><head><script>x</script></head><body><article>{_h.escape(body, quote=False)}</article></body></html>"
+    expected = re.sub(r"[ \t\r\n]+", " ", body).strip()
+    assert extract_text_str(page) == expected
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=60))
+def test_unionfind_is_transitive_and_canonical(pairs):
+    edges = [(f"n{a:02d}", f"n{b:02d}") for a, b in pairs if a != b]
+    assign = dict(_unionfind_local(edges))
+    for a, b in edges:
+        assert assign[a] == assign[b]
+    for node, root in assign.items():
+        assert assign[root] == root
+        assert root <= node
