@@ -248,6 +248,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(d, n=1, threshold=0.7)
 
 
+def q_dedup_decisions(spark: SparkSession, sf: str) -> DataFrame:
+    """Combined keep/drop_exact/drop_near decisions (min-id survivor)."""
+    from mix_blink_spark.operators.dedup import dedup_decisions
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    return dedup_decisions(d, jaccard_threshold=0.7, n=1)
+
+
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     from mix_blink_spark.operators.dedup import minhash_signatures
 
@@ -391,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_decisions": q_dedup_decisions,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -575,6 +584,29 @@ def oracle_sql() -> dict[str, str]:
                    round(c * 1.0 / (za.n + zb.n - c), 6) AS jaccard
             FROM i JOIN sz za ON za.id = i.x JOIN sz zb ON zb.id = i.y
             WHERE c * 1.0 / (za.n + zb.n - c) >= 0.7
+        """,
+        "dedup_decisions": """
+            WITH ids AS (SELECT CAST(doc_id AS VARCHAR) id, md5(text) h
+                         FROM documents WHERE doc_id < 60),
+            em AS (SELECT h, min(id) keeper FROM ids GROUP BY h),
+            exact AS (SELECT id, CASE WHEN id <> keeper THEN keeper END AS ep
+                      FROM ids JOIN em USING (h)),
+            s0 AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) id,
+                          unnest(list_distinct(string_split(lower(text),' '))) AS sh
+                   FROM documents WHERE doc_id < 60),
+            s2 AS (SELECT * FROM s0 WHERE length(sh) > 0),
+            sz AS (SELECT id, count(*) n FROM s2 GROUP BY 1),
+            i AS (SELECT a.id x, b.id y, count(*) c
+                  FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+            prs AS (SELECT x, y FROM i JOIN sz za ON za.id = i.x JOIN sz zb ON zb.id = i.y
+                    WHERE c * 1.0 / (za.n + zb.n - c) >= 0.7),
+            np AS (SELECT y AS id, min(x) AS npp FROM prs GROUP BY y)
+            SELECT id,
+                   CASE WHEN ep IS NOT NULL THEN 'drop_exact'
+                        WHEN npp IS NOT NULL THEN 'drop_near'
+                        ELSE 'keep' END AS action,
+                   coalesce(ep, npp) AS partner
+            FROM exact LEFT JOIN np USING (id)
         """,
         "minhash_signatures": """
             WITH toks AS (SELECT CAST(doc_id AS VARCHAR) id,

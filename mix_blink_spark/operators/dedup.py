@@ -143,6 +143,49 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_decisions(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.7,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Combined keep/drop decision table: (id, action, partner).
+
+    - ``drop_exact``: another doc has identical text and a smaller id;
+    - ``drop_near``: a shingle-Jaccard neighbor ≥ threshold has a smaller
+      id (and no exact duplicate applies);
+    - ``keep`` otherwise.
+    Deterministic (min-id survivor), engine-portable, one row per doc.
+    """
+    ids = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.md5(F.col(text_col)).alias("h")
+    )
+    exact_min = ids.groupBy("h").agg(F.min("id").alias("keeper"))
+    exact = ids.join(exact_min, "h").select(
+        "id", F.when(F.col("id") != F.col("keeper"), F.col("keeper")).alias("exact_partner")
+    )
+
+    near = ngram_jaccard_pairs(docs, n=n, threshold=jaccard_threshold, id_col=id_col, text_col=text_col)
+    near_partner = (
+        near.select(F.col("b").alias("id"), F.col("a").alias("p"))
+        .groupBy("id")
+        .agg(F.min("p").alias("near_partner"))
+    )
+
+    return (
+        exact.join(near_partner, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("exact_partner").isNotNull(), F.lit("drop_exact"))
+            .when(F.col("near_partner").isNotNull(), F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+            F.coalesce("exact_partner", "near_partner").alias("partner"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -63,6 +63,20 @@ def test_salted_block_sizes_match_plain(spark):
     assert salted == plain
 
 
+def test_partition_pruning_on_pages_layout(spark, corpus, tmp_path):
+    """write_pages lays out (lang, warc_day); a lang filter must prune
+    directories (PartitionFilters), not scan them."""
+    from mix_blink_spark.sources.pages import write_pages
+
+    path = str(tmp_path / "pages")
+    write_pages(corpus["pages"], path)
+    df = spark.read.parquet(path).filter(F.col("lang") == "ja").select("url")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1][:200]
+    assert df.count() > 0
+
+
 def test_whole_stage_codegen_on_jvm_path(spark):
     """Normalization/blocking keys are pure column expressions — they must
     sit inside a WholeStageCodegen span, not a Python runner."""
