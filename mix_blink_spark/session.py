@@ -33,6 +33,8 @@ _BASE_CONF = {
     # Don't let tiny local files produce one giant partition.
     "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # managed-table home for bucketed tables (static conf; set at startup)
+    "spark.sql.warehouse.dir": os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/mbs-warehouse"),
     # local mode: the driver IS the executor — 32 concurrent tasks with
     # Arrow batches + shuffle buffers thrash GC under small heaps (measured
     # 66s -> 41s on the bench pipeline going 8g -> 24g)

@@ -53,6 +53,24 @@ def test_surface_extraction_matches_gold(spark, e2e):
     assert bad == 0
 
 
+def test_link_config_measure_contract():
+    with pytest.raises(NotImplementedError, match="dot is not supported"):
+        LinkConfig(measure="dot")
+
+
+@pytest.mark.parametrize("measure", ["ip", "l2"])
+def test_pipeline_other_measures_smoke(spark, measure):
+    """ip and l2 paths run end-to-end and still cluster exact variants."""
+    from mix_blink_spark.fixtures import corpus_dfs
+    from mix_blink_spark.operators.metrics import cluster_pairs, pairwise_prf
+
+    pages, ents, golds, labeled = corpus_dfs(spark, seed=3, n_pages=300, n_entities=25)
+    spans = golds.select("url", "mention_id", "start", "end")
+    out = link(spark, pages, spans, ents, LinkConfig(measure=measure))
+    res = pairwise_prf(cluster_pairs(out["clusters"]), labeled)
+    assert res["f1"] >= 0.9, res
+
+
 def test_resume_skips_completed_stages(spark, e2e, tmp_path):
     pages, ents, golds, labeled = e2e
     workdir = str(tmp_path / "stages")

@@ -77,6 +77,27 @@ def test_partition_pruning_on_pages_layout(spark, corpus, tmp_path):
     assert df.count() > 0
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join without a
+    shuffle (the co-located join pattern for repeated big-big joins)."""
+    from mix_blink_spark.sources.bucketing import colocated_join, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        write_bucketed(docs.select("doc_id", "lang"), "b_left", ["doc_id"], 8)
+        write_bucketed(docs.select("doc_id", "n_chars"), "b_right", ["doc_id"], 8)
+        j = colocated_join(spark, "b_left", "b_right", ["doc_id"])
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
+
+
 def test_whole_stage_codegen_on_jvm_path(spark):
     """Normalization/blocking keys are pure column expressions — they must
     sit inside a WholeStageCodegen span, not a Python runner."""
