@@ -381,6 +381,19 @@ def q_ann_lsh_top1(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_top1(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed approximate ANN (no SQL oracle — approximate by
+    design; recall vs brute force asserted in pytest)."""
+    from mix_blink_spark.operators.knn import ivf_topk
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return ivf_topk(e, k=1, n_centroids=8, n_probe=3).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("hit_id").cast("bigint").alias("hit_id"),
+        "rank",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_filter": q_s1_scan_filter,
@@ -411,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "er_link_clusters": q_er_link_clusters,
         "ann_lsh_top1": q_ann_lsh_top1,
+        "ann_ivf_top1": q_ann_ivf_top1,
     }
 
 

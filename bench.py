@@ -166,6 +166,9 @@ def main() -> None:
 
     qs = entrymod.queries()
     spark = _session(cpus)
+    # JVM/codegen/Python-worker warm-up so the first timed query isn't
+    # charged for session startup
+    qs["s1_scan_filter"](spark, sf_dir).count()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.monotonic()

@@ -134,6 +134,102 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    data: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 23,
+    sample: int = 512,
+) -> DataFrame:
+    """IVF-style approximate self-kNN: coarse quantize to deterministic
+    centroids, probe the ``n_probe`` nearest cells per query, score only
+    within probed cells.
+
+    Centroids are a seeded k-means++-lite pass over a driver-side sample
+    (deterministic: ``orderBy(id).limit(sample)``); at 10^12 scale this is
+    the standard two-level layout — the centroid table stays broadcast-
+    sized while candidate vectors shuffle once on cell id. Recall tunes
+    with (n_centroids, n_probe); exactness is the brute-force path.
+    """
+    smp = (
+        data.select(F.col(id_col).cast("string").alias("rid"), F.col(emb_col).alias("emb"))
+        .orderBy("rid")
+        .limit(sample)
+        .collect()
+    )
+    vecs = np.array([r["emb"] for r in smp], dtype=np.float64)
+    vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    # k-means++-lite seeding, then a few Lloyd rounds (driver-side, tiny)
+    centroids = [vecs[rng.randint(len(vecs))]]
+    for _ in range(n_centroids - 1):
+        d2 = np.min([1 - vecs @ c for c in centroids], axis=0)
+        p = np.maximum(d2, 1e-9)
+        centroids.append(vecs[rng.choice(len(vecs), p=p / p.sum())])
+    C = np.stack(centroids)
+    for _ in range(5):
+        assign = np.argmax(vecs @ C.T, axis=1)
+        for j in range(n_centroids):
+            members = vecs[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+
+    spark = data.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+    probe = n_probe
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def probe_cells(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cent = bc.value
+        for ser in batches:
+            m = np.stack(ser.to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :probe]
+            yield pd.Series([[str(c) for c in row] for row in top])
+
+    base = data.select(
+        F.col(id_col).cast("string").alias("rid"), F.col(emb_col).alias("emb")
+    ).withColumn("probes", probe_cells(F.col("emb")))
+    # candidates live in their best (first-probed) cell; queries probe all
+    queries = base.withColumn("cell", F.explode("probes")).drop("probes")
+    candidates = base.withColumn("cell", F.element_at("probes", 1)).drop("probes")
+
+    pairs = (
+        queries.alias("q")
+        .join(candidates.alias("c"), "cell")
+        .filter(F.col("q.rid") != F.col("c.rid"))
+        .select(
+            F.col("q.rid").alias("rid"),
+            F.col("c.rid").alias("hit_id"),
+            F.col("q.emb").alias("emb_a"),
+            F.col("c.emb").alias("emb_b"),
+        )
+        .dropDuplicates(["rid", "hit_id"])
+    )
+
+    @F.pandas_udf("double")
+    def cos(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a_ser, b_ser in batches:
+            a = np.stack(a_ser.to_numpy()).astype(np.float64)
+            b = np.stack(b_ser.to_numpy()).astype(np.float64)
+            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+            yield pd.Series(np.einsum("ij,ij->i", a, b))
+
+    scored = pairs.withColumn("score", cos(F.col("emb_a"), F.col("emb_b")))
+    w = Window.partitionBy("rid").orderBy(F.col("score").desc(), F.col("hit_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("rid").alias(id_col), "hit_id", "score", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     data: DataFrame,
     threshold: float = 0.95,

@@ -44,6 +44,23 @@ def test_neardup_pairs(vecs):
     assert ("102", "2") in pairs or ("2", "102") in pairs
 
 
+def test_ivf_topk_recall_vs_bruteforce(vecs):
+    from mix_blink_spark.operators.knn import ivf_topk
+
+    exact = {(r["vec_id"], r["hit_id"]) for r in brute_force_topk(vecs, vecs, k=1).collect() if r["rank"] == 1}
+    approx = {(r["vec_id"], r["hit_id"]) for r in ivf_topk(vecs, k=1, n_centroids=4, n_probe=3).collect() if r["rank"] == 1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_deterministic(vecs):
+    from mix_blink_spark.operators.knn import ivf_topk
+
+    a = sorted(map(tuple, ivf_topk(vecs, k=2, n_centroids=4, n_probe=2).select("vec_id", "hit_id", "rank").collect()))
+    b = sorted(map(tuple, ivf_topk(vecs, k=2, n_centroids=4, n_probe=2).select("vec_id", "hit_id", "rank").collect()))
+    assert a == b
+
+
 def test_lsh_topk_recall_vs_bruteforce(vecs):
     exact = {(r["vec_id"], r["hit_id"]) for r in brute_force_topk(vecs, vecs, k=1).collect() if r["rank"] == 1}
     approx = {(r["vec_id"], r["hit_id"]) for r in lsh_topk(vecs, k=1, bits=4, tables=8).collect() if r["rank"] == 1}
