@@ -192,6 +192,10 @@ def link(
 
     pairs_mm = stage("pairs_mm", mm_pairs)
     pairs_me = stage("pairs_me", me_pairs)
+    if store is not None:
+        # score-distribution metrics per scoring stage (north_rule)
+        store.record_histogram("pairs_mm", pairs_mm, "score")
+        store.record_histogram("pairs_me", pairs_me, "score")
 
     def make_edges():
         # surface/entity graph only — mentions are projected back after CC

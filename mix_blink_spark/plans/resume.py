@@ -65,6 +65,35 @@ class StageStore:
         os.replace(tmp, mark_path)
         return out
 
+    def record_histogram(self, stage: str, df: DataFrame, col: str, bins: int = 20) -> None:
+        """Score-distribution metrics (north_rule): a ``bins``-bucket
+        histogram of ``col`` over [0, 1], appended to the metrics store as
+        one row per bucket: (stage, bucket, lo, hi, rows)."""
+        bucket = F.least(F.floor(F.col(col) * bins).cast("int"), F.lit(bins - 1))
+        hist = (
+            df.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("rows"))
+            .select(
+                F.lit(stage).alias("stage"),
+                F.concat(F.lit("hist:"), F.col("bucket").cast("string")).alias("kind"),
+                (F.col("bucket") / bins).alias("lo"),
+                ((F.col("bucket") + 1) / bins).alias("hi"),
+                "rows",
+            )
+        )
+        # one subdir per stage, overwritten on recompute: idempotent under
+        # resume (re-running link() never duplicates histogram rows)
+        hist.write.mode("overwrite").parquet(os.path.join(self.workdir, "_histograms", stage))
+
+    def histograms(self) -> DataFrame:
+        path = os.path.join(self.workdir, "_histograms")
+        if not os.path.exists(path):
+            return self.spark.createDataFrame(
+                [], "stage string, kind string, lo double, hi double, rows bigint"
+            )
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(path)
+
     def metrics(self) -> DataFrame:
         path = os.path.join(self.workdir, "_metrics")
         if not os.path.exists(path):

@@ -88,3 +88,10 @@ def test_resume_skips_completed_stages(spark, e2e, tmp_path):
     # per-partition lineage metrics recorded for every stage
     stages = {r["stage"] for r in store.metrics().select("stage").distinct().collect()}
     assert {"mentions", "pairs_mm", "pairs_me", "edges", "clusters"} <= stages
+
+    # score-distribution histograms recorded for the scoring stages
+    hist = store.histograms()
+    hstages = {r["stage"] for r in hist.select("stage").distinct().collect()}
+    assert {"pairs_mm", "pairs_me"} <= hstages
+    total = hist.filter(F.col("stage") == "pairs_mm").agg(F.sum("rows")).first()[0]
+    assert total == store.run("pairs_mm", lambda: None).count()
