@@ -19,6 +19,45 @@ from ..operators.topk import hard_negatives
 from .predict import _mention_hits
 
 
+def inject_candidates(dataset_mentions: DataFrame, candidates: DataFrame) -> DataFrame:
+    """S7 sink: re-nest flat mentions (from sources/jsonl.read_reference_dataset)
+    back into the reference's document JSONL shape with ``candidates``
+    arrays injected per mention — by mention_id key join, entities ordered
+    by span start, examples ordered by id (deterministic; the reference's
+    positional pop(0) zip, cli/get_candidates.py:31-53, is order-fragile).
+
+    Output schema: {doc-id, examples:[{id, text, entities:[{start, end,
+    label, hard_negatives, candidates}]}]} — ``df.write.json(path)`` emits
+    the reference-compatible file.
+    """
+    c = candidates.select("mention_id", "candidates")
+    m = dataset_mentions.join(c, "mention_id", "left").withColumn(
+        "candidates", F.coalesce("candidates", F.array().cast("array<string>"))
+    )
+    ent = F.struct(
+        F.col("start"), F.col("end"), F.col("labels").alias("label"),
+        F.col("hard_negatives"), F.col("candidates"),
+    )
+    examples = (
+        m.groupBy("doc_id", "example_id", "text")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("start").alias("_s"), ent.alias("e")))).e.alias("entities"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("example_id").alias("_k"),
+                        F.struct(
+                            F.col("example_id").alias("id"), F.col("text"), F.col("entities")
+                        ).alias("ex"),
+                    )
+                )
+            ).ex.alias("examples")
+        )
+    )
+    return examples.select(F.col("doc_id").alias("doc-id"), "examples")
+
+
 def mine_candidates(
     spark: SparkSession,
     pages: DataFrame,

@@ -58,6 +58,33 @@ def test_explode_counts_and_surfaces(spark, toy_path):
     assert by_id["d4-P2#1"]["surface"] == "Vertex"
 
 
+def test_candidate_writeback_roundtrip(spark, toy_path, tmp_path):
+    """read → inject candidates → write JSONL → re-read: same mentions,
+    candidates present, entities ordered by start."""
+    from mix_blink_spark.plans.candidates import inject_candidates
+
+    m = read_reference_dataset(spark, toy_path)
+    cand = spark.createDataFrame(
+        [("d1-P1#0", ["X05", "X02"]), ("d4-P2#0", ["X03"])],
+        "mention_id string, candidates array<string>",
+    )
+    nested = inject_candidates(m, cand)
+    out = str(tmp_path / "cands")
+    nested.coalesce(1).write.mode("overwrite").json(out)
+
+    back = read_reference_dataset(spark, out)
+    assert back.count() == m.count()
+    roundtrip = {r["mention_id"]: r for r in back.collect()}
+    assert roundtrip["d3-P2#0"]["labels"] == ["X01", "-1"]
+
+    got = {r["doc-id"]: r for r in nested.collect()}
+    d4 = got["d4"]
+    p2 = [e for ex in d4["examples"] if ex["id"] == "d4-P2" for e in ex["entities"]]
+    assert [e["start"] for e in p2] == sorted(e["start"] for e in p2)
+    assert p2[0]["candidates"] == ["X03"]
+    assert p2[1]["candidates"] == []
+
+
 def test_nil_invariant_6_vs_8(spark, toy_path):
     """remove_nil=True over a NIL-less dictionary keeps 6 of 8 features
     (the two pure-NIL mentions drop); with NIL in the dictionary all 8
