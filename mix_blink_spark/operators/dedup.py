@@ -66,19 +66,35 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for pairs with |A∩B| / |A∪B| ≥ threshold.
 
     Equi-join on shingle computes intersections; set sizes join back for
-    the union. Scale guard: extremely common shingles behave like hot
-    blocking keys — at 100 TB, prefilter shingles by document frequency
-    (see ``df_cap``) exactly like stopword removal.
+    the union (sizes always count ALL shingles, so jaccard stays exact
+    w.r.t. the full sets).
+
+    ``max_df`` is the scale guard: a shingle occurring in more than
+    ``max_df`` documents (a stopword-like shingle) is excluded from the
+    *join* — it would contribute O(df²) intersection rows, the quadratic
+    hot-key blowup. Dropping it can only lower measured intersections, so
+    results are a ≥-threshold *subset* (recall-trading, precision-safe).
+    Default None = exact.
     """
     sh = token_shingles(docs, n, id_col, text_col).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    join_side = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        join_side = sh.join(rare, "shingle")
     inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
+        join_side.alias("x")
+        .join(join_side.alias("y"), "shingle")
         .filter(F.col("x.id") < F.col("y.id"))
         .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .agg(F.count("*").alias("inter"))

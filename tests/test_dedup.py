@@ -48,6 +48,15 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert not any("4" in p for p in pairs)
 
 
+def test_ngram_jaccard_max_df_is_precision_safe(docs):
+    """With a df cap, exact duplicates still pair (their rare shingles
+    carry them) and no NEW pairs appear vs the exact computation."""
+    exact = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    capped = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=3).collect()}
+    assert capped <= exact
+    assert ("1", "2") in capped
+
+
 def test_minhash_lsh_pairs(docs):
     got = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs).collect()}
     assert ("1", "2") in got      # identical docs always collide
