@@ -25,6 +25,20 @@ def test_extract_text_byte_identical(spark, corpus):
     assert mismatches == 0
 
 
+def test_jvm_extractor_matches_python_kernel(spark, corpus):
+    """The codegen fast path must agree byte-for-byte with the Python
+    kernel (and therefore with the stored text) on the fixture corpus."""
+    from mix_blink_spark.functions.text import extract_text_jvm
+
+    pages = corpus["pages"]
+    bad = (
+        pages.withColumn("jvm", extract_text_jvm(F.col("html")))
+        .filter((F.col("jvm") != F.col("text")))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_extract_text_drops_boilerplate():
     html = (
         "<!DOCTYPE html><html><head><title>t</title><script>var x=1;</script></head>"
