@@ -82,7 +82,27 @@ def _prepare_corpus(spark, n_pages: int = ER_PAGES) -> None:
     ents.write.mode("overwrite").parquet(os.path.join(path, "entities"))
 
 
-def _run_er(spark, n_pages: int = ER_PAGES) -> tuple[float, int]:
+def cc_star_benchmark(spark, n_nodes: int = 400_000, n_edges: int = 1_000_000, seed: int = 5) -> float:
+    """Distributed large-star/small-star CC on a 1M-edge synthetic graph
+    (threshold=0 forces the iterative path) — evidence the scale path
+    works beyond the hybrid's driver-side regime."""
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.operators.cc import connected_components
+
+    edges = (
+        spark.range(n_edges)
+        .select(
+            F.concat(F.lit("n"), F.lpad(F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(n_nodes)).cast("string"), 7, "0")).alias("src"),
+            F.concat(F.lit("n"), F.lpad(F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(n_nodes)).cast("string"), 7, "0")).alias("dst"),
+        )
+    )
+    t0 = time.monotonic()
+    connected_components(edges, small_graph_threshold=0).count()
+    return time.monotonic() - t0
+
+
+def _run_er(spark, n_pages: int = ER_PAGES, jvm_extract: bool = False) -> tuple[float, int]:
     """Returns (elapsed_sec, n_pages): the full linkage pipeline
     (html->text extraction, blocking, scoring, CC, cluster projection)
     over the pre-generated parquet corpus. Input read is inside the timed
@@ -100,7 +120,7 @@ def _run_er(spark, n_pages: int = ER_PAGES) -> tuple[float, int]:
     )
 
     t0 = time.monotonic()
-    out = link(spark, pages, spans, ents, LinkConfig())
+    out = link(spark, pages, spans, ents, LinkConfig(jvm_extract=jvm_extract))
     out["clusters"].count()
     elapsed = time.monotonic() - t0
     return elapsed, n_pages
@@ -206,6 +226,14 @@ def main() -> None:
             }
         )
         result.update(calibrate_hw((SCALE_LO, SCALE_HI)))
+
+        # distributed star-loop CC at forced-iterative scale (the hybrid's
+        # driver path never engages here)
+        spark_x = _session(SCALE_HI)
+        result["cc_star_500k_sec"] = round(
+            cc_star_benchmark(spark_x, n_nodes=200_000, n_edges=500_000), 2
+        )
+        spark_x.stop()
 
     print(json.dumps(result))
 

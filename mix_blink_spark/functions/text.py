@@ -63,6 +63,11 @@ def extract_text_jvm(html_bin: Column) -> Column:
     need the Python kernel's full ``html.unescape``; callers pick the path
     per corpus contract. Verified equal to the Python kernel on the
     fixture corpus in tests/test_text.py.
+
+    Measured caveat: on heavy-boilerplate 80KB pages Java's backtracking
+    regex made this ~2x SLOWER than the Arrow Python kernel (156s vs 72s
+    for the bench pipeline at local[4]) — kept as a correctness
+    cross-check and for corpora with light markup, not as the default.
     """
     s = F.decode(html_bin, "UTF-8")
     s = F.regexp_replace(s, r"(?is)<(script|style|nav|footer|head)\b[^>]*>.*?</\1>", " ")

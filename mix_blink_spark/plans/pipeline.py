@@ -62,6 +62,10 @@ class LinkConfig:
     tau_ent: float = 0.80      # mention->entity anchor threshold
     max_block_size: int = 200
     neighborhood: int = 8
+    # JVM codegen extraction fast path (functions/text.extract_text_jvm):
+    # byte-equal for standard-escaped corpora, ~no Python in the per-page
+    # stage. Default False = full-fidelity Python kernel.
+    jvm_extract: bool = False
 
     def __post_init__(self) -> None:
         check_measure(self.measure)
@@ -77,15 +81,24 @@ def _attach_embs(pairs: DataFrame, embs_a: DataFrame, embs_b: DataFrame) -> Data
     return pairs.join(ea, "a").join(eb, "b")
 
 
-def build_mentions(pages: DataFrame, spans: DataFrame, from_html: bool = True) -> DataFrame:
+def build_mentions(
+    pages: DataFrame, spans: DataFrame, from_html: bool = True, jvm_extract: bool = False
+) -> DataFrame:
     """Extract text from ``html`` (the byte-stable kernel — the pipeline's
     own text, never trusting a pre-extracted column) and slice mention
     surfaces. ``html`` is pruned immediately after extraction."""
     if from_html and "html" in pages.columns:
-        pages = (
-            with_extracted_text(pages)
-            .select("url", F.col("extracted_text").alias("text"), "lang")
-        )
+        if jvm_extract:
+            from ..functions.text import extract_text_jvm
+
+            pages = pages.select(
+                "url", extract_text_jvm(F.col("html")).alias("text"), "lang"
+            )
+        else:
+            pages = (
+                with_extracted_text(pages)
+                .select("url", F.col("extracted_text").alias("text"), "lang")
+            )
     return mentions_from_spans(pages, spans)
 
 
@@ -119,7 +132,7 @@ def link(
         if verbose:
             print(f"[link] {name}: {_time.monotonic() - t0:.2f}s")
 
-    mentions = stage("mentions", lambda: build_mentions(pages, spans))
+    mentions = stage("mentions", lambda: build_mentions(pages, spans, jvm_extract=cfg.jvm_extract))
     if store is None:
         mentions = mentions.persist()
 
