@@ -166,12 +166,25 @@ def _cal_work(_):
     return sum(len(extract_text_str(p)) for p in _CAL_PAGES)
 
 
+def _warm_page_cache(path: str) -> None:
+    """Read every corpus file once so both probe legs see identical
+    page-cache state (cold-vs-warm IO was the dominant run-to-run variance:
+    same leg measured 72s warm vs 135s cold)."""
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            with open(os.path.join(root, fname), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+
 def _probe(cpus: int) -> float:
     """One scaling-probe leg: fresh session at `cpus`, small warm-up run
-    (JIT/codegen/Python-worker pools), then the timed full-corpus run."""
+    (JIT/codegen/Python-worker pools), page-cache warm, then the timed
+    full-corpus run."""
     spark = _session(cpus)
     _prepare_corpus(spark, WARM_PAGES)
     _run_er(spark, WARM_PAGES)
+    _warm_page_cache(_corpus_path())
     sec, _ = _run_er(spark)
     spark.stop()
     return sec

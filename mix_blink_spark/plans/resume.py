@@ -11,6 +11,11 @@ two re-runs the stage, never skips it.
 ``StageStore.run`` is the only API: compute-or-reload by stage name. A
 ``metrics`` parquet accumulates one row per (stage, partition) with row
 counts — the per-partition lineage record.
+
+Stages are keyed by NAME only: a store directory binds to one pipeline
+configuration. Changing thresholds/measures requires a fresh workdir (or
+``reset`` of downstream stages) — the convention a per-run output
+directory gives you for free.
 """
 
 from __future__ import annotations
