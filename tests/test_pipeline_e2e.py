@@ -53,6 +53,17 @@ def test_surface_extraction_matches_gold(spark, e2e):
     assert bad == 0
 
 
+def test_pairwise_f1_generalizes_to_other_seed(spark):
+    """Thresholds must not be overfit to the primary fixture seed."""
+    from mix_blink_spark.fixtures import corpus_dfs
+
+    pages, ents, golds, labeled = corpus_dfs(spark, seed=13, n_pages=800, n_entities=50)
+    spans = golds.select("url", "mention_id", "start", "end")
+    out = link(spark, pages, spans, ents, LinkConfig())
+    res = pairwise_prf(cluster_pairs(out["clusters"]), labeled)
+    assert res["f1"] >= 0.99, res
+
+
 def test_link_config_measure_contract():
     with pytest.raises(NotImplementedError, match="dot is not supported"):
         LinkConfig(measure="dot")
