@@ -294,19 +294,29 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary: decimal-cast sums for exactness."""
+    """TPC-H Q1-style pricing summary: decimal-cast sums for exactness,
+    emitted as round(double) per the repo's float-output portability rule
+    (decimal scale rendering is engine-specific; the exact decimal sum cast
+    to double is the same IEEE value on both engines)."""
     l = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     disc = F.col("l_discount").cast("decimal(18,6)")
-    tax = F.col("l_tax").cast("decimal(18,6)")
     qty = F.col("l_quantity").cast("decimal(18,4)")
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(28,4)").alias("sum_qty"),
-            F.sum(price).cast("decimal(28,4)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1).cast("decimal(18,6)") - disc)).cast("decimal(28,6)").alias("sum_disc_price"),
+            F.sum(qty).alias("_sq"),
+            F.sum(price).alias("_sbp"),
+            F.sum(price * (F.lit(1).cast("decimal(18,6)") - disc)).alias("_sdp"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("_sq").cast("double"), 2).alias("sum_qty"),
+            F.round(F.col("_sbp").cast("double"), 2).alias("sum_base_price"),
+            F.round(F.col("_sdp").cast("double"), 2).alias("sum_disc_price"),
+            "count_order",
         )
     )
 
@@ -325,9 +335,14 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("decimal(28,6)").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
         .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        )
     )
 
 
@@ -339,7 +354,13 @@ def q_events_window(spark: SparkSession, sf: str) -> DataFrame:
         e.groupBy("event_type", bucket.alias("bucket"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(28,6)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sv"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            F.round(F.col("_sv").cast("double"), 4).alias("sum_value"),
         )
     )
 
@@ -741,31 +762,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                       * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(28,6)) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
         "tpch_q3": """
+            WITH agg AS (
+              SELECT l_orderkey, o_orderdate,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < '1998-03-15' AND l_shipdate > '1995-03-15'
+              GROUP BY l_orderkey, o_orderdate
+              ORDER BY rev DESC, l_orderkey LIMIT 10)
             SELECT l_orderkey, o_orderdate,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                       * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(28,6)) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-              AND o_orderdate < '1998-03-15' AND l_shipdate > '1995-03-15'
-            GROUP BY l_orderkey, o_orderdate
-            ORDER BY revenue DESC, l_orderkey LIMIT 10
+                   round(CAST(rev AS DOUBLE), 2) AS revenue
+            FROM agg
         """,
         "events_window": """
             SELECT event_type,
                    CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
                    count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": """
