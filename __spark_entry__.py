@@ -377,16 +377,38 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_er_link_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Flagship ER pipeline on the synthetic web-page corpus (no SQL
-    oracle — correctness is the pytest F1 gate; driver records rows-only)."""
+    """Flagship ER pipeline on the synthetic web-page corpus, summarized as
+    ONE row: member/cluster counts + pairwise P/R/F1 against the fixture's
+    labeled pairs. The pipeline is seeded-deterministic end to end, so the
+    row hash-compares against the pinned oracle (expected_oracles.py,
+    regenerated by tools/gen_ann_expected.py); the full-assignment and
+    fresh-seed F1 checks live in tests/test_pipeline_e2e.py."""
     from mix_blink_spark.fixtures import corpus_dfs
+    from mix_blink_spark.operators.metrics import cluster_pairs, pairwise_prf
     from mix_blink_spark.plans.pipeline import LinkConfig, link
 
     n_pages = 400 if "0.001" in sf else 1500
-    pages, ents, golds, _ = corpus_dfs(spark, seed=7, n_pages=n_pages, n_entities=60)
+    pages, ents, golds, labeled = corpus_dfs(spark, seed=7, n_pages=n_pages, n_entities=60)
     spans = golds.select("url", "mention_id", "start", "end")
     out = link(spark, pages, spans, ents, LinkConfig())
-    return out["clusters"]
+    clusters = out["clusters"].persist()
+    prf = pairwise_prf(cluster_pairs(clusters), labeled)
+    n_members = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    clusters.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_members,
+                n_clusters,
+                int(prf["tp"]),
+                int(prf["fp"]),
+                int(prf["fn"]),
+                round(float(prf["f1"]), 6),
+            )
+        ],
+        "n_members bigint, n_clusters bigint, tp bigint, fp bigint, fn bigint, pairwise_f1 double",
+    )
 
 
 def q_ann_lsh_top1(spark: SparkSession, sf: str) -> DataFrame:
@@ -450,7 +472,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from mix_blink_spark.expected_oracles import EXPECTED_SQL
+
     return {
+        # seeded-deterministic queries pinned to precomputed expected tables
+        # (approx ANN + fixture-driven ER; semantics gated in pytest)
+        **EXPECTED_SQL,
         "s1_scan_filter": """
             SELECT doc_id, n_chars, substr(text, 1, 20) AS head
             FROM documents WHERE lang = 'en'
