@@ -1,13 +1,17 @@
 """The reference's ``get_candidate`` mining path (SURVEY.md §3.3, J3/J4/S7).
 
-Reference behavior (cli/get_candidates.py + retriever/dense.py:101-122):
-search k' = top_k + max(|labels|) per mention, remove gold ids, truncate
-to top_k, then zip the candidate lists back into the nested input JSON
-**positionally** (pop(0) per mention — order-dependent). We keep the
-mining semantics exactly (mined lists never contain golds,
-tests/test_retriever.py:185-190) but the write-back is a deterministic
-key join on ``mention_id`` (J4's documented fix), so it is safe under any
-partitioning / ordering.
+Reference behavior (cli/get_candidates.py:31-53 + retriever/dense.py:101-122):
+search k' = top_k + max(|labels|) per mention, then emit TWO lists per
+mention — ``candidates`` = the raw top-k (``indices[:top_k]``, golds
+INCLUDED) and ``hard_negatives`` = the gold-removed list truncated to
+top_k (this is what ``negative=True`` training reads). Both replace any
+values carried in the input file. The reference zips the lists back into
+the nested input JSON positionally (``pop(0)`` per mention —
+order-dependent); we keep the mining semantics exactly but the write-back
+is a deterministic key join on ``mention_id`` (J4's documented fix), so it
+is safe under any partitioning / ordering. Per-entity ``title``/``text``
+fields from the input are carried through unchanged
+(cli/get_candidates.py:42-48).
 """
 
 from __future__ import annotations
@@ -19,24 +23,40 @@ from ..operators.topk import hard_negatives
 from .predict import _mention_hits
 
 
-def inject_candidates(dataset_mentions: DataFrame, candidates: DataFrame) -> DataFrame:
+def _empty():
+    return F.array().cast("array<string>")
+
+
+def inject_candidates(dataset_mentions: DataFrame, mined: DataFrame) -> DataFrame:
     """S7 sink: re-nest flat mentions (from sources/jsonl.read_reference_dataset)
-    back into the reference's document JSONL shape with ``candidates``
-    arrays injected per mention — by mention_id key join, entities ordered
-    by span start, examples ordered by id (deterministic; the reference's
-    positional pop(0) zip, cli/get_candidates.py:31-53, is order-fragile).
+    back into the reference's document JSONL shape with ``candidates`` AND
+    ``hard_negatives`` arrays injected per mention — by mention_id key join,
+    entities ordered by span start, examples ordered by id.
+
+    ``mined`` carries (mention_id, candidates, hard_negatives); mined
+    mentions have BOTH fields replaced (the reference's contract — stale
+    input hard_negatives are never passed through), mentions absent from
+    ``mined`` keep their input lists. Per-entity title/text from the input
+    survive the roundtrip (null fields are dropped on ``write.json``).
 
     Output schema: {doc-id, examples:[{id, text, entities:[{start, end,
-    label, hard_negatives, candidates}]}]} — ``df.write.json(path)`` emits
-    the reference-compatible file.
+    label, title, text, candidates, hard_negatives}]}]} —
+    ``df.write.json(path)`` emits the reference-compatible file.
     """
-    c = candidates.select("mention_id", "candidates")
-    m = dataset_mentions.join(c, "mention_id", "left").withColumn(
-        "candidates", F.coalesce("candidates", F.array().cast("array<string>"))
+    c = mined.select(
+        "mention_id",
+        F.col("candidates").alias("_cand"),
+        F.col("hard_negatives").alias("_hn"),
+    )
+    m = (
+        dataset_mentions.join(c, "mention_id", "left")
+        .withColumn("candidates", F.coalesce("_cand", _empty()))
+        .withColumn("hard_negatives", F.coalesce("_hn", "hard_negatives", _empty()))
     )
     ent = F.struct(
         F.col("start"), F.col("end"), F.col("labels").alias("label"),
-        F.col("hard_negatives"), F.col("candidates"),
+        F.col("title"), F.col("ent_text").alias("text"),
+        F.col("candidates"), F.col("hard_negatives"),
     )
     examples = (
         m.groupBy("doc_id", "example_id", "text")
@@ -67,29 +87,38 @@ def mine_candidates(
     top_k: int = 10,
     measure: str = "ip",
 ) -> DataFrame:
-    """(url, mention_id, start, end, labels, candidates array<string>) —
-    the input spans re-emitted with gold-free candidate ids injected.
+    """(url, mention_id, start, end, labels, candidates, hard_negatives) —
+    the input spans re-emitted with the reference's two lists:
+    ``candidates`` = raw top-k (golds included, dense.py:115),
+    ``hard_negatives`` = gold-removed top-k (dense.py:116-120).
 
     ``top_k=10`` is the reference default (argparser.py:46).
     """
     g = golds.select(F.col("mention_id").alias("rid"), "labels")
     max_labels = golds.agg(F.max(F.size("labels"))).first()[0] or 1
     hits = _mention_hits(spark, pages, spans, entities, k=top_k + max_labels, measure=measure)
-    negs = hard_negatives(hits, g, k=top_k)
-    cand = (
-        negs.withColumn("pick", F.struct(F.col("rank"), F.col("hit_id")))
-        .groupBy("rid")
-        .agg(F.array_sort(F.collect_list("pick")).hit_id.alias("candidates"))
-    )
+
+    def collect_ranked(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.withColumn("pick", F.struct(F.col("rank"), F.col("hit_id")))
+            .groupBy("rid")
+            .agg(F.array_sort(F.collect_list("pick")).hit_id.alias(col))
+            .withColumnRenamed("rid", "mention_id")
+        )
+
+    raw = collect_ranked(hits.filter(F.col("rank") <= top_k), "candidates")
+    negs = collect_ranked(hard_negatives(hits, g, k=top_k), "hard_negatives")
     return (
         spans.join(golds.select("mention_id", "labels"), "mention_id", "left")
-        .join(cand.withColumnRenamed("rid", "mention_id"), "mention_id", "left")
+        .join(raw, "mention_id", "left")
+        .join(negs, "mention_id", "left")
         .select(
             "url",
             "mention_id",
             "start",
             "end",
             "labels",
-            F.coalesce("candidates", F.array().cast("array<string>")).alias("candidates"),
+            F.coalesce("candidates", _empty()).alias("candidates"),
+            F.coalesce("hard_negatives", _empty()).alias("hard_negatives"),
         )
     )

@@ -32,6 +32,8 @@ MENTION_SCHEMA = StructType(
         StructField("start", IntegerType()),
         StructField("end", IntegerType()),
         StructField("label", ArrayType(StringType())),
+        StructField("title", StringType()),
+        StructField("text", StringType()),
         StructField("hard_negatives", ArrayType(StringType())),
     ]
 )
@@ -74,6 +76,8 @@ def read_reference_dataset(spark: SparkSession, path: str) -> DataFrame:
         F.col("m.end").alias("end"),
         F.expr("substring(text, m.start + 1, m.end - m.start)").alias("surface"),
         F.col("m.label").alias("labels"),
+        F.col("m.title").alias("title"),
+        F.col("m.text").alias("ent_text"),
         F.coalesce(F.col("m.hard_negatives"), F.array().cast("array<string>")).alias(
             "hard_negatives"
         ),

@@ -18,13 +18,18 @@ def test_mine_candidates(spark, corpus):
     rows = out.collect()
     # every span re-emitted exactly once (key join, never positional)
     assert len(rows) == spans.count()
-    by_id = {r["mention_id"]: r for r in rows}
+    gold_seen = 0
     for r in rows:
-        # mined candidates never contain golds (dense.py:114-120 contract)
-        assert not set(r["candidates"]) & set(r["labels"] or [])
+        # hard_negatives never contain golds (dense.py:116-120 contract)
+        assert not set(r["hard_negatives"]) & set(r["labels"] or [])
+        assert len(r["hard_negatives"]) <= 10
+        # candidates = raw top-k: golds NOT removed (dense.py:115)
         assert len(r["candidates"]) <= 10
-    # at least some mentions actually mined candidates
-    assert sum(1 for r in rows if r["candidates"]) > len(rows) * 0.5
+        gold_seen += bool(set(r["candidates"]) & set(r["labels"] or []))
+    # raw candidates DO contain golds for most mentions (retrieval works)
+    assert gold_seen > len(rows) * 0.5
+    # both lists mined for most mentions
+    assert sum(1 for r in rows if r["hard_negatives"]) > len(rows) * 0.5
 
 
 def test_dedup_decisions(spark):

@@ -16,7 +16,8 @@ from mix_blink_spark.sources.pages import resolve_labels
 TOY = [
     {"doc-id": "d1", "examples": [
         {"id": "d1-P1", "text": "Ada Lovelace joined Acme.", "entities": [
-            {"start": 20, "end": 24, "label": ["X01"], "hard_negatives": ["X02", "X03"]}]}]},
+            {"start": 20, "end": 24, "label": ["X01"], "title": "Acme Corp",
+             "text": "Acme makes anvils.", "hard_negatives": ["X02", "X03"]}]}]},
     {"doc-id": "d2", "examples": [
         {"id": "d2-P1", "text": "Borealis ships today.", "entities": [
             {"start": 0, "end": 8, "label": ["X02"], "hard_negatives": ["X01"]}]},
@@ -65,8 +66,11 @@ def test_candidate_writeback_roundtrip(spark, toy_path, tmp_path):
 
     m = read_reference_dataset(spark, toy_path)
     cand = spark.createDataFrame(
-        [("d1-P1#0", ["X05", "X02"]), ("d4-P2#0", ["X03"])],
-        "mention_id string, candidates array<string>",
+        [
+            ("d1-P1#0", ["X01", "X05", "X02"], ["X05", "X02"]),
+            ("d4-P2#0", ["X04", "X03"], ["X03"]),
+        ],
+        "mention_id string, candidates array<string>, hard_negatives array<string>",
     )
     nested = inject_candidates(m, cand)
     out = str(tmp_path / "cands")
@@ -76,13 +80,26 @@ def test_candidate_writeback_roundtrip(spark, toy_path, tmp_path):
     assert back.count() == m.count()
     roundtrip = {r["mention_id"]: r for r in back.collect()}
     assert roundtrip["d3-P2#0"]["labels"] == ["X01", "-1"]
+    # per-entity title/text carried through the roundtrip
+    assert roundtrip["d1-P1#0"]["title"] == "Acme Corp"
+    assert roundtrip["d1-P1#0"]["ent_text"] == "Acme makes anvils."
 
     got = {r["doc-id"]: r for r in nested.collect()}
     d4 = got["d4"]
     p2 = [e for ex in d4["examples"] if ex["id"] == "d4-P2" for e in ex["entities"]]
     assert [e["start"] for e in p2] == sorted(e["start"] for e in p2)
-    assert p2[0]["candidates"] == ["X03"]
+    # mined mentions: candidates = raw top-k (gold included),
+    # hard_negatives REPLACED by the mined gold-free list
+    assert p2[0]["candidates"] == ["X04", "X03"]
+    assert p2[0]["hard_negatives"] == ["X03"]
+    # unmined mentions: empty candidates, input hard_negatives preserved
     assert p2[1]["candidates"] == []
+    assert p2[1]["hard_negatives"] == ["X02"]
+    d1 = got["d1"]
+    e1 = d1["examples"][0]["entities"][0]
+    assert e1["candidates"] == ["X01", "X05", "X02"]
+    assert e1["hard_negatives"] == ["X05", "X02"]
+    assert e1["title"] == "Acme Corp" and e1["text"] == "Acme makes anvils."
 
 
 def test_nil_invariant_6_vs_8(spark, toy_path):

@@ -48,6 +48,28 @@ def test_extract_text_drops_boilerplate():
     assert extract_text_str(html) == "Hello & goodbye."
 
 
+def test_extract_text_nbsp_parity(spark):
+    """&nbsp; must decode to U+00A0 (html.unescape parity) in BOTH kernels
+    and must NOT be collapsed by the whitespace pass — the fixture corpus
+    never emits &nbsp;, so this case needs its own fixture (ADVICE r1)."""
+    from mix_blink_spark.functions.text import extract_text_jvm
+
+    html = (
+        "<p>a&nbsp;b</p> <p>c &nbsp; d</p>"
+        "<div>x&amp;y &lt;tag&gt; &quot;q&quot; &#39;s&#39;</div>"
+    )
+    py = extract_text_str(html)
+    assert "a b" in py  # U+00A0 preserved, not collapsed
+    assert "c   d" in py
+    assert "x&y <tag> \"q\" 's'" in py
+    df = spark.createDataFrame([(html.encode(),)], "html binary")
+    row = df.select(
+        extract_text("html").alias("p"), extract_text_jvm(F.col("html")).alias("j")
+    ).first()
+    assert row["p"] == py
+    assert row["j"] == py  # byte-identical across kernels
+
+
 def test_extract_text_null_safe(spark):
     df = spark.createDataFrame([(None,), (b"<p>x</p>",)], "html binary")
     rows = df.select(extract_text("html").alias("t")).collect()
