@@ -81,6 +81,49 @@ def make_bucket_udf(dim: int, bits: int, tables: int, seed: int = 17):
     return buckets
 
 
+def _bucket_scorer(k: int):
+    """Grouped-map kernel: score one bucket's members against each other
+    ENTIRELY inside the group (normalized matmul, chunked so memory is
+    O(chunk·bucket), per-query local top-k) and emit only
+    (rid, hit_id, score) — vectors never ride on pair rows, so the shuffle
+    moves each vector once per bucket it belongs to, never once per pair.
+
+    Deterministic: rows are sorted by rid before scoring and ties broken
+    by position (= ascending rid) via a stable argsort, so bucket-local
+    candidate sets don't depend on shuffle arrival order."""
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rid", kind="mergesort")
+        ids = pdf["rid"].to_numpy()
+        n = len(ids)
+        kk = min(k, n - 1)
+        if kk <= 0:
+            return pd.DataFrame({"rid": [], "hit_id": [], "score": []})
+        M = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        out = []
+        chunk = 1024
+        for i0 in range(0, n, chunk):
+            hi = min(i0 + chunk, n)
+            S = M[i0:hi] @ M.T  # (c, n)
+            S[np.arange(hi - i0), np.arange(i0, hi)] = -np.inf  # self
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(i0, hi), kk)
+            cols = idx.ravel()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "rid": ids[rows],
+                        "hit_id": ids[cols],
+                        "score": S[np.repeat(np.arange(hi - i0), kk), cols],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return score_bucket
+
+
 def lsh_topk(
     data: DataFrame,
     k: int,
@@ -91,10 +134,15 @@ def lsh_topk(
     dim: int | None = None,
     seed: int = 17,
 ) -> DataFrame:
-    """Approximate self-kNN: bucket join + block-local cosine + global re-rank.
+    """Approximate self-kNN: bucket shuffle + per-bucket grouped-map cosine
+    top-k + global re-rank over the per-bucket winners.
 
     Never collects the candidate set — this is the path that survives when
-    embeddings no longer fit in a broadcast (billions of rows).
+    embeddings no longer fit in a broadcast (billions of rows). Scoring is
+    per-bucket ``applyInPandas`` emitting (rid, hit_id, score) only; a pair
+    observed in several buckets gets a bit-identical score in each (the
+    per-pair dot is order-independent), so the global dedup + window rank
+    is exact over the bucket-local candidates.
     """
     if dim is None:
         dim = len(data.select(emb_col).first()[0])
@@ -103,29 +151,10 @@ def lsh_topk(
         F.col(id_col).cast("string").alias("rid"), F.col(emb_col).alias("emb")
     ).withColumn("bucket", F.explode(bucket_udf(F.col("emb"))))
 
-    pairs = (
-        tagged.alias("x")
-        .join(tagged.alias("y"), "bucket")
-        .filter(F.col("x.rid") != F.col("y.rid"))
-        .select(
-            F.col("x.rid").alias("rid"),
-            F.col("y.rid").alias("hit_id"),
-            F.col("x.emb").alias("emb_a"),
-            F.col("y.emb").alias("emb_b"),
-        )
-        .dropDuplicates(["rid", "hit_id"])
+    local = tagged.groupBy("bucket").applyInPandas(
+        _bucket_scorer(k), "rid string, hit_id string, score double"
     )
-
-    @F.pandas_udf("double")
-    def cos(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        for a_ser, b_ser in batches:
-            a = np.stack(a_ser.to_numpy()).astype(np.float64)
-            b = np.stack(b_ser.to_numpy()).astype(np.float64)
-            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
-            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
-            yield pd.Series(np.einsum("ij,ij->i", a, b))
-
-    scored = pairs.withColumn("score", cos(F.col("emb_a"), F.col("emb_b")))
+    scored = local.dropDuplicates(["rid", "hit_id"])
     w = Window.partitionBy("rid").orderBy(F.col("score").desc(), F.col("hit_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -195,33 +224,55 @@ def ivf_topk(
     base = data.select(
         F.col(id_col).cast("string").alias("rid"), F.col(emb_col).alias("emb")
     ).withColumn("probes", probe_cells(F.col("emb")))
-    # candidates live in their best (first-probed) cell; queries probe all
-    queries = base.withColumn("cell", F.explode("probes")).drop("probes")
-    candidates = base.withColumn("cell", F.element_at("probes", 1)).drop("probes")
-
-    pairs = (
-        queries.alias("q")
-        .join(candidates.alias("c"), "cell")
-        .filter(F.col("q.rid") != F.col("c.rid"))
-        .select(
-            F.col("q.rid").alias("rid"),
-            F.col("c.rid").alias("hit_id"),
-            F.col("q.emb").alias("emb_a"),
-            F.col("c.emb").alias("emb_b"),
-        )
-        .dropDuplicates(["rid", "hit_id"])
+    # candidates live in their best (first-probed) cell; queries probe all.
+    # One shuffled frame with role flags — scoring happens INSIDE each cell
+    # group (grouped-map), emitting (rid, hit_id, score) only: vectors
+    # cross the shuffle once per probed cell, never once per pair.
+    queries = base.withColumn("cell", F.explode("probes")).select(
+        "cell", "rid", "emb", F.lit(True).alias("is_q"),
+        (F.element_at("probes", 1) == F.col("cell")).alias("is_c"),
     )
 
-    @F.pandas_udf("double")
-    def cos(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        for a_ser, b_ser in batches:
-            a = np.stack(a_ser.to_numpy()).astype(np.float64)
-            b = np.stack(b_ser.to_numpy()).astype(np.float64)
-            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
-            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
-            yield pd.Series(np.einsum("ij,ij->i", a, b))
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rid", kind="mergesort")
+        ids = pdf["rid"].to_numpy()
+        is_c = pdf["is_c"].to_numpy()
+        if not is_c.any():
+            return pd.DataFrame({"rid": [], "hit_id": [], "score": []})
+        M = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        C = M[is_c]
+        cand_ids = ids[is_c]
+        kk = min(k, len(cand_ids))
+        out = []
+        chunk = 1024
+        for i0 in range(0, len(ids), chunk):
+            hi = min(i0 + chunk, len(ids))
+            S = M[i0:hi] @ C.T  # (c, n_cand)
+            # exclude self-hits (query also a candidate in this cell)
+            for li, gi in enumerate(range(i0, hi)):
+                sel = cand_ids == ids[gi]
+                if sel.any():
+                    S[li, sel] = -np.inf
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(i0, hi), kk)
+            sc = S[np.repeat(np.arange(hi - i0), kk), idx.ravel()]
+            keep = sc > -np.inf
+            out.append(
+                pd.DataFrame(
+                    {
+                        "rid": ids[rows][keep],
+                        "hit_id": cand_ids[idx.ravel()][keep],
+                        "score": sc[keep],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
 
-    scored = pairs.withColumn("score", cos(F.col("emb_a"), F.col("emb_b")))
+    local = queries.groupBy("cell").applyInPandas(
+        score_cell, "rid string, hit_id string, score double"
+    )
+    scored = local.dropDuplicates(["rid", "hit_id"])
     w = Window.partitionBy("rid").orderBy(F.col("score").desc(), F.col("hit_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -236,9 +287,29 @@ def embedding_neardup_pairs(
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    broadcast_limit: int = 250_000,
+    bits: int = 4,
+    tables: int = 24,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold (canonical a < b)."""
-    hits = brute_force_topk(data, data, k=k, id_col=id_col, emb_col=emb_col)
+    """Near-duplicate pairs by cosine ≥ threshold (canonical a < b).
+
+    Physical dispatch by candidate-set size: up to ``broadcast_limit``
+    rows the exact broadcast-matrix path runs (here the corpus IS the
+    candidate set, so this is only safe when it is dimension-sized);
+    above it the LSH-bucketed path takes over — it never collects or
+    broadcasts the table, so the operator survives corpus-scale inputs
+    instead of OOM-ing the driver. LSH output is a subset of the exact
+    pairs with bit-identical scores (every emitted pair's cosine is
+    computed exactly), recall tuned via (bits, tables) — gated in
+    tests/test_knn.py against the brute-force path.
+    """
+    n = data.count()
+    if n <= broadcast_limit:
+        hits = brute_force_topk(data, data, k=k, id_col=id_col, emb_col=emb_col)
+    else:
+        hits = lsh_topk(
+            data, k=k, bits=bits, tables=tables, id_col=id_col, emb_col=emb_col
+        )
     return (
         hits.filter(F.col("score") >= threshold)
         .select(

@@ -187,11 +187,25 @@ def link(
         )
 
     def me_pairs():
-        # entity aliases scored independently: emb_b encoded from the alias
-        # norm carried on the pair row (entity rid alone is not unique)
+        # entity aliases scored independently (entity rid alone is not
+        # unique — one entity can carry several alias norms). Aliases are
+        # pre-encoded ONCE as a dimension table and broadcast-joined onto
+        # the pairs: encoding on the pair rows would run the encoder UDF
+        # once per (surface, alias) pair — a fan-out multiplier on encoder
+        # cost that melts with a real transformer behind the seam.
         p = cross_family_pairs(s_keyed, e_keyed)
         ea = s_embs.select(F.col("rid").alias("a"), F.col("emb").alias("emb_a"))
-        p = p.join(ea, "a").withColumn("emb_b", encode(F.col("norm_b")))
+        n_alias = ent_surfaces.select("rid", "norm").distinct()
+        # same dimension-scale partitioning heuristic as `surfaces`: each
+        # Arrow UDF task has a ~0.25 s fixed cost, so tiny alias tables
+        # encode on one partition; large dictionaries keep parallelism
+        p_ent = max(1, min(spark.sparkContext.defaultParallelism, n_alias.count() // 2000 + 1))
+        eb = F.broadcast(
+            _with_emb(n_alias.coalesce(p_ent)).select(
+                F.col("rid").alias("b"), F.col("norm").alias("norm_b"), F.col("emb").alias("emb_b")
+            )
+        )
+        p = p.join(ea, "a").join(eb, ["b", "norm_b"])
         scored = score_pairs(p, cfg.measure, cfg.dense_weight)
         # top-1 entity per surface, deterministic tie-break on entity id
         from pyspark.sql.window import Window

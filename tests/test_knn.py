@@ -66,3 +66,25 @@ def test_lsh_topk_recall_vs_bruteforce(vecs):
     approx = {(r["vec_id"], r["hit_id"]) for r in lsh_topk(vecs, k=1, bits=4, tables=8).collect() if r["rank"] == 1}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_neardup_forced_large_path_parity(spark):
+    """broadcast_limit=0 forces the LSH (never-collect) dispatch; its pair
+    set must be a subset of the exact pairs (every emitted cosine is
+    computed exactly → precision 1.0) with high recall on the fixture."""
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 3 == 0:
+            rows.append((1000 + i, [float(x) for x in v + 0.01 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache()
+
+    exact = {(r["a"], r["b"]) for r in embedding_neardup_pairs(df, threshold=0.95).collect()}
+    approx = {
+        (r["a"], r["b"])
+        for r in embedding_neardup_pairs(df, threshold=0.95, broadcast_limit=0).collect()
+    }
+    assert approx <= exact
+    assert len(approx) / len(exact) >= 0.9, (len(approx), len(exact))
