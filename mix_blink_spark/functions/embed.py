@@ -67,3 +67,57 @@ def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for series in batches:
         mat = encode_matrix([s if s is not None else "" for s in series], dim)
         yield pd.Series(list(mat))
+
+
+def make_encoder_udf(batch_fn=None):
+    """Build an encoder pandas_udf around any ``list[str] -> np.ndarray``
+    batch function — THE production drop-in point. ``batch_fn`` is
+    closure-captured (cloudpickle ships it to executors by value), and may
+    lazy-init heavyweight state (an HF model) on first batch so the load
+    happens once per worker process, never per row.
+
+    ``make_encoder_udf()`` == the default trigram ``encode``.
+    """
+    fn = batch_fn or (lambda texts: encode_matrix(texts))
+
+    @pandas_udf(ArrayType(FloatType()))
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            mat = fn([s if s is not None else "" for s in series])
+            yield pd.Series(list(np.asarray(mat, dtype=np.float32)))
+
+    return _encode
+
+
+def hf_encode_batch(model_name: str, max_length: int = 128, normalize: bool = True):
+    """``batch_fn`` backed by a HuggingFace encoder with CLS pooling —
+    the reference's Encoder.forward contract (modeling/encoder.py:62-77:
+    ``last_hidden_state[:, 0]``). Import-guarded: transformers/torch are
+    not in this sandbox; tests skip when absent. Model + tokenizer load
+    lazily on first call (once per executor worker).
+    """
+    state: dict = {}
+
+    def batch_fn(texts):
+        import numpy as _np
+
+        if not state:
+            import torch
+            from transformers import AutoModel, AutoTokenizer
+
+            state["torch"] = torch
+            state["tok"] = AutoTokenizer.from_pretrained(model_name, model_max_length=max_length)
+            state["model"] = AutoModel.from_pretrained(model_name).eval()
+        torch = state["torch"]
+        enc = state["tok"](
+            list(texts), padding=True, truncation=True, max_length=max_length,
+            return_tensors="pt",
+        )
+        with torch.no_grad():
+            out = state["model"](**enc).last_hidden_state[:, 0]  # CLS pooling
+        mat = out.cpu().numpy().astype(_np.float32)
+        if normalize:
+            mat /= _np.maximum(_np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return mat
+
+    return batch_fn

@@ -26,18 +26,64 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 from pyspark.sql.functions import pandas_udf
 
-# Order matters and is frozen: changing any pattern changes extracted bytes.
+# Order matters and the OUTPUT BYTES are frozen: any change here must keep
+# extract_text_str byte-identical (tests/test_text.py + the differential
+# fuzz in tests/test_properties.py guard this).
 _RE_DROP = re.compile(
     r"<(script|style|nav|footer|head)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
 )
+_RE_OPEN = re.compile(r"<(script|style|nav|footer|head)\b[^>]*>", re.IGNORECASE)
+_RE_CLOSE = {
+    t: re.compile("</" + t + ">", re.IGNORECASE)
+    for t in ("script", "style", "nav", "footer", "head")
+}
 _RE_BLOCK = re.compile(r"</?(p|div|article|section|br|li|tr|h[1-6])\b[^>]*>", re.IGNORECASE)
 _RE_TAG = re.compile(r"<[^>]+>")
 _RE_WS = re.compile(r"[ \t\r\n]+")
 
 
+def _drop_blocks(s: str) -> str:
+    """Byte-identical fast path for ``_RE_DROP.sub(" ", s)``: the
+    non-greedy ``.*?</\\1>`` scan steps the regex engine per character
+    (~100 MB/s and 95% of kernel time on boilerplate-heavy pages); here
+    the closing tag is located with memchr-speed ``str.find`` on a
+    one-pass lowercased copy instead. Unclosed blocks are left in place
+    (later stripped as bare tags), exactly like the failing regex match.
+    """
+    m = _RE_OPEN.search(s)
+    if m is None:
+        return s
+    out = []
+    emit = 0
+    while m is not None:
+        tag = m.group(1).lower()
+        # literal close-tag regex (IGNORECASE) instead of find on a
+        # lowercased copy: str.lower() is not length-preserving for some
+        # Unicode chars, which would misalign indices
+        cm = _RE_CLOSE[tag].search(s, m.end())
+        if cm is None:
+            # no closing tag: regex backtracks and never matches here —
+            # resume the scan one char later, emitting nothing yet
+            nxt = m.start() + 1
+        else:
+            out.append(s[emit : m.start()])
+            out.append(" ")
+            emit = nxt = cm.end()
+        m = _RE_OPEN.search(s, nxt)
+    out.append(s[emit:])
+    return "".join(out)
+
+
 def extract_text_str(page: str) -> str:
-    """Deterministic extractor for one already-decoded HTML string."""
-    s = _RE_DROP.sub(" ", page)
+    """Deterministic extractor for one already-decoded HTML string.
+
+    NOTE: the block-element pass is NOT redundant with the general tag
+    pass even though both substitute " " — on malformed HTML a block tag
+    inside an unclosed angle context (``<script</p><``) splits a run the
+    tag pass would otherwise match whole. All four passes are
+    byte-frozen.
+    """
+    s = _drop_blocks(page)
     s = _RE_BLOCK.sub(" ", s)
     s = _RE_TAG.sub(" ", s)
     s = _html.unescape(s)

@@ -153,28 +153,29 @@ def link(
             .withColumn("rid", F.concat(F.lit(NORM_PREFIX), F.md5("norm")))
         )
 
-    # eager-materialize shared subtrees so the mm/me branches of one action
-    # don't race-recompute them (persist alone is lazy)
+    # eager-materialize the heavy shared subtree once (persist alone is
+    # lazy); downstream dimension-scale frames read this cache
     _t0 = _time.monotonic()
     surfaces0 = stage("surfaces", make_surfaces).persist()
     # single materialization of the heavy upstream (scan+extract+join):
-    # count AFTER persist, then repartition reads from cache
+    # count AFTER persist, then the coalesce below reads from cache
     n_surf = surfaces0.count()
     # dimension-scale data runs on few partitions: each Python-UDF task has
     # a fixed Arrow/worker cost, so 625 surfaces across 32 partitions is
     # ~10x slower than across 1 (measured); fact-scale stages keep full
-    # parallelism
+    # parallelism. No second persist/count: re-reading the surfaces0 cache
+    # through a coalesce is cheaper than another action per run.
     p_surf = max(1, min(spark.sparkContext.defaultParallelism, n_surf // 2000 + 1))
-    surfaces = surfaces0.coalesce(p_surf).persist()
-    surfaces.count()
-    surfaces0.unpersist()
+    surfaces = surfaces0.coalesce(p_surf)
     mark(f"surfaces materialize (n={n_surf}, p={p_surf})", _t0)
 
     _t0 = _time.monotonic()
     s_keyed = keyed_records(surfaces, "rid").persist()
     e_keyed = keyed_records(ent_surfaces, "rid")
-    s_keyed.count()
 
+    # one eager action (the expensive encoder kernel); s_keyed fills its
+    # cache lazily inside the first pairs job — cheap column exprs + one
+    # tiny minhash UDF task, not worth a dedicated action per run
     s_embs = _with_emb(surfaces.select("rid", "norm")).persist()
     s_embs.count()
     mark("keys+embs materialize", _t0)
@@ -235,6 +236,12 @@ def link(
         return mm.unionByName(me)
 
     edges = stage("edges", make_edges)
+    if store is None:
+        # CC takes several actions over edges (size probe, collect/loop)
+        # and the cluster projection re-reads them; without a persist the
+        # whole pair-scoring DAG re-executes per action (measured: the
+        # clusters stage ran the blocking+scoring subtree ~3x)
+        edges = edges.persist()
 
     def cluster():
         # reliable checkpoints only in resumable (store) mode; localCheckpoint
@@ -263,7 +270,10 @@ def link(
         # materialize before dropping upstream caches (clusters is lazy here)
         clusters = clusters.persist()
         clusters.count()
-    for df in (surfaces, s_keyed, s_embs):
+    unpersist = [surfaces0, s_keyed, s_embs]
+    if store is None:
+        unpersist.append(edges)
+    for df in unpersist:
         df.unpersist()
 
     return {

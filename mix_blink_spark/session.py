@@ -21,11 +21,13 @@ _BASE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / mapInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # keep Arrow batches ~tens of MB even for 40KB+ binary cells: big
-    # batches (10k x 40KB html = 400MB in flight PER TASK) collapse
-    # throughput at high parallelism (measured: local[8] slower than
-    # local[2] on the extraction stage before this was capped)
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    # keep Arrow batches ~10 MB even for 80KB binary cells: big batches
+    # collapse throughput at parallelism (measured on the 120k x 80KB
+    # scan+extract stage: 1024-row batches = 80MB each -> 30.5s at
+    # local[8] / 82s at local[32]; 128-row batches -> 17.3s / 26s).
+    # Spark has no bytes-based batch cap (only maxRecordsPerBatch), so the
+    # row cap is sized for the heaviest column in the workload.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "128",
     # Small dims (entity dictionary) must broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Deterministic timestamps in tests.

@@ -98,6 +98,55 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_right")
 
 
+def test_mentions_join_from_bucketed_tables_has_no_exchange(spark, corpus, tmp_path):
+    """The pipeline's pages⋈spans join over bucketed-on-url tables — the
+    disk-co-located layout a 100 TB deployment uses (Iceberg bucket(url);
+    parquet bucketBy here).
+
+    Two measured facts, both asserted: (a) with text materialized at
+    ingest (the warehouse layout) the join is FULLY exchange-free;
+    (b) with in-flight extraction, Spark's ArrowEvalPython node does not
+    propagate the bucket distribution, so the pages side re-shuffles but
+    the spans side still reads co-located — bucketing always removes at
+    least the spans-side Exchange."""
+    from mix_blink_spark.sources.bucketing import write_bucketed
+    from mix_blink_spark.sources.pages import mentions_from_spans, with_extracted_text
+
+    pages = corpus["pages"]
+    spans = corpus["mentions_gold"].select("url", "mention_id", "start", "end")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import shutil
+
+        for t in ("b_pages", "b_spans"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            # orphaned managed-table dirs (killed earlier run) block CREATE
+            shutil.rmtree(f"/tmp/mbs-warehouse/{t}", ignore_errors=True)
+        write_bucketed(pages, "b_pages", ["url"], 8)
+        write_bucketed(spans, "b_spans", ["url"], 8)
+
+        # (a) text stored at ingest: zero Exchange anywhere
+        m = mentions_from_spans(
+            spark.table("b_pages").select("url", "text", "lang"), spark.table("b_spans")
+        )
+        plan = _plan(m)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert m.count() == spans.count()
+
+        # (b) extract-on-read: exactly one Exchange (the UDF side), never two
+        bp = with_extracted_text(spark.table("b_pages")).select(
+            "url", F.col("extracted_text").alias("text"), "lang"
+        )
+        m2 = mentions_from_spans(bp, spark.table("b_spans"))
+        plan2 = _plan(m2)
+        assert plan2.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_pages")
+        spark.sql("DROP TABLE IF EXISTS b_spans")
+
+
 def test_whole_stage_codegen_on_jvm_path(spark):
     """Normalization/blocking keys are pure column expressions — they must
     sit inside a WholeStageCodegen span, not a Python runner."""

@@ -67,6 +67,27 @@ def test_extract_text_roundtrip_on_escaped_body(body):
     assert extract_text_str(page) == expected
 
 
+_HTML_TOKENS = [
+    "<script>", "</script>", "<SCRIPT a='b'>", "</Style>", "<style>", "<nav>",
+    "</nav>", "<head x>", "</head>", "<p>", "</p>", "<div class='x'>", "text",
+    "&amp;", "&nbsp;", "<", ">", " ", "\n", "a<b", "x>y", "<script",
+    "</scriptx>", "<footer>", "</footer>", "<script >", "</ script>",
+    "<styleX>", "<script<p>", "</SCRIPT>", "<navfoo>", "İstanbul", "ß", "ﬁ",
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from(_HTML_TOKENS), min_size=1, max_size=30))
+def test_drop_blocks_differential_vs_regex(parts):
+    """_drop_blocks (the memchr-speed kernel) must be byte-identical to the
+    frozen non-greedy regex on adversarial tag soup, including malformed
+    nesting, unclosed blocks, mixed case, and length-changing Unicode."""
+    from mix_blink_spark.functions.text import _RE_DROP, _drop_blocks
+
+    s = "".join(parts)
+    assert _drop_blocks(s) == _RE_DROP.sub(" ", s)
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=60))
 def test_unionfind_is_transitive_and_canonical(pairs):
