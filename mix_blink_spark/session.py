@@ -78,9 +78,15 @@ def get_spark(
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True if an Iceberg runtime is on the classpath (not in this sandbox)."""
+    """True if an Iceberg runtime is on the classpath (not in this sandbox).
+
+    NOTE: must go through Class.forName — attribute access on
+    ``spark._jvm`` is lazy in py4j and returns a JavaPackage without ever
+    touching the classloader, so it never fails for missing classes."""
     try:
-        spark._jvm.org.apache.iceberg.Schema  # type: ignore[union-attr]
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.Schema"
+        )
         return True
     except Exception:
         return False
