@@ -32,7 +32,9 @@ MENTION_SCHEMA = StructType(
         StructField("start", IntegerType()),
         StructField("end", IntegerType()),
         StructField("label", ArrayType(StringType())),
-        StructField("title", StringType()),
+        # zelda.py:58-60 writes title as a one-element list and
+        # get_candidates passes it through — array on disk throughout
+        StructField("title", ArrayType(StringType())),
         StructField("text", StringType()),
         StructField("hard_negatives", ArrayType(StringType())),
     ]

@@ -16,7 +16,7 @@ from mix_blink_spark.sources.pages import resolve_labels
 TOY = [
     {"doc-id": "d1", "examples": [
         {"id": "d1-P1", "text": "Ada Lovelace joined Acme.", "entities": [
-            {"start": 20, "end": 24, "label": ["X01"], "title": "Acme Corp",
+            {"start": 20, "end": 24, "label": ["X01"], "title": ["Acme Corp"],
              "text": "Acme makes anvils.", "hard_negatives": ["X02", "X03"]}]}]},
     {"doc-id": "d2", "examples": [
         {"id": "d2-P1", "text": "Borealis ships today.", "entities": [
@@ -81,7 +81,7 @@ def test_candidate_writeback_roundtrip(spark, toy_path, tmp_path):
     roundtrip = {r["mention_id"]: r for r in back.collect()}
     assert roundtrip["d3-P2#0"]["labels"] == ["X01", "-1"]
     # per-entity title/text carried through the roundtrip
-    assert roundtrip["d1-P1#0"]["title"] == "Acme Corp"
+    assert roundtrip["d1-P1#0"]["title"] == ["Acme Corp"]
     assert roundtrip["d1-P1#0"]["ent_text"] == "Acme makes anvils."
 
     got = {r["doc-id"]: r for r in nested.collect()}
@@ -99,7 +99,7 @@ def test_candidate_writeback_roundtrip(spark, toy_path, tmp_path):
     e1 = d1["examples"][0]["entities"][0]
     assert e1["candidates"] == ["X01", "X05", "X02"]
     assert e1["hard_negatives"] == ["X05", "X02"]
-    assert e1["title"] == "Acme Corp" and e1["text"] == "Acme makes anvils."
+    assert e1["title"] == ["Acme Corp"] and e1["text"] == "Acme makes anvils."
 
 
 def test_nil_invariant_6_vs_8(spark, toy_path):
