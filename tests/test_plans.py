@@ -147,6 +147,44 @@ def test_mentions_join_from_bucketed_tables_has_no_exchange(spark, corpus, tmp_p
         spark.sql("DROP TABLE IF EXISTS b_spans")
 
 
+def test_aqe_splits_skewed_join(spark):
+    """A pathological hot blocking key must be split by AQE's skew-join
+    handler: the finalized adaptive plan marks the sort-merge join
+    skew=true and the hot partition is processed as multiple splits
+    instead of one straggler reducer (north_rule: 'AQE skew-join
+    splitting'). Thresholds are scaled down to fixture size."""
+    conf_keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+        # 60k rows on ONE key vs uniform keys; incompressible payload so
+        # the hot shuffle partition exceeds the (scaled-down) threshold
+        left = spark.range(60_000).select(
+            F.when(F.col("id") < 59_000, F.lit(0)).otherwise(F.col("id") % 50).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pl"),
+        )
+        right = spark.range(50).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = left.join(right, "k")
+        # execute THIS QueryExecution (count() would plan a separate one)
+        assert len(j.collect()) == 60_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_whole_stage_codegen_on_jvm_path(spark):
     """Normalization/blocking keys are pure column expressions — they must
     sit inside a WholeStageCodegen span, not a Python runner."""
