@@ -411,6 +411,36 @@ def q_er_link_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_inbatch_scoring(spark: SparkSession, sf: str) -> DataFrame:
+    """J5/F4/A3: in-batch scoring matrix — per batch, mentions score
+    against every in-batch gold (ip measure), temperature CE loss +
+    argmax recall. Batches are built tie-free (one mention per label per
+    batch: gold = a label's min-id vector, mention = its 2nd vector) so
+    the SQL oracle's argmax needs no positional tie-break."""
+    from mix_blink_spark.operators.training import inbatch_score_matrix
+
+    e = _t(spark, sf, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    ranked = e.withColumn("rk", F.row_number().over(w))
+    gold = ranked.filter(F.col("rk") == 1).select("label", F.col("embedding").alias("gold_emb"))
+    ment = ranked.filter(F.col("rk") == 2).select("vec_id", "label", "embedding")
+    rows = ment.join(gold, "label").select(
+        F.pmod(F.col("label").cast("bigint"), F.lit(4)).cast("string").alias("batch_id"),
+        F.lpad(F.col("vec_id").cast("string"), 8, "0").alias("rid"),
+        F.col("embedding").alias("emb"),
+        "gold_emb",
+        F.array().cast("array<array<float>>").alias("neg_embs"),
+    )
+    out = inbatch_score_matrix(rows, measure="ip", temperature=0.1)
+    return out.select(
+        "batch_id",
+        F.round("loss", 6).alias("loss"),
+        F.round("recall", 6).alias("recall"),
+        "n_mentions",
+        "n_negatives",
+    )
+
+
 def q_ann_lsh_top1(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets (no SQL oracle —
     approximate by design; recall vs brute force asserted in pytest)."""
@@ -465,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
+        "inbatch_scoring": q_inbatch_scoring,
         "er_link_clusters": q_er_link_clusters,
         "ann_lsh_top1": q_ann_lsh_top1,
         "ann_ivf_top1": q_ann_ivf_top1,
@@ -819,6 +850,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "inbatch_scoring": """
+            WITH ranked AS (
+              SELECT vec_id, label, embedding,
+                     row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+              FROM embeddings),
+            gold AS (SELECT label, embedding AS gemb FROM ranked WHERE rk = 1),
+            ment AS (SELECT vec_id, label, embedding AS memb FROM ranked WHERE rk = 2),
+            rows_ AS (
+              SELECT CAST(m.label % 4 AS VARCHAR) AS batch_id,
+                     lpad(CAST(m.vec_id AS VARCHAR), 8, '0') AS rid,
+                     m.memb, g.gemb
+              FROM ment m JOIN gold g ON m.label = g.label),
+            pos AS (SELECT batch_id, memb, gemb,
+                           row_number() OVER (PARTITION BY batch_id ORDER BY rid) AS i
+                    FROM rows_),
+            mu AS (SELECT batch_id, i, CAST(unnest(memb) AS DOUBLE) v,
+                          generate_subscripts(memb, 1) d FROM pos),
+            gu AS (SELECT batch_id, i AS j, CAST(unnest(gemb) AS DOUBLE) v,
+                          generate_subscripts(gemb, 1) d FROM pos),
+            dots AS (
+              SELECT mu.batch_id, mu.i, gu.j, sum(mu.v * gu.v) / 0.1 AS z
+              FROM mu JOIN gu ON mu.batch_id = gu.batch_id AND mu.d = gu.d
+              GROUP BY 1, 2, 3),
+            mx AS (SELECT batch_id, i, max(z) AS m, arg_max(j, z) AS am
+                   FROM dots GROUP BY 1, 2),
+            lse AS (SELECT d.batch_id, d.i, ln(sum(exp(d.z - mx.m))) + mx.m AS l,
+                           any_value(mx.am) AS am
+                    FROM dots d JOIN mx ON mx.batch_id = d.batch_id AND mx.i = d.i
+                    GROUP BY d.batch_id, d.i, mx.m),
+            diag AS (SELECT batch_id, i, z FROM dots WHERE i = j)
+            SELECT l.batch_id,
+                   round(avg(l.l - diag.z), 6) AS loss,
+                   round(avg(CASE WHEN l.am = l.i THEN 1.0 ELSE 0.0 END), 6) AS recall,
+                   CAST(count(*) AS INT) AS n_mentions,
+                   0 AS n_negatives
+            FROM lse l JOIN diag ON diag.batch_id = l.batch_id AND diag.i = l.i
+            GROUP BY l.batch_id
         """,
         "events_sessionize": """
             WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events),
