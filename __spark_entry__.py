@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+``queries()`` exposes one entry per implemented operator (30 total, all oracle-gated) from SURVEY.md §2
 plus the training-data-pipeline operators (dedup family, ANN, text
 analysis); ``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL for the
 driver's side-by-side correctness gate at sf=0.01.
