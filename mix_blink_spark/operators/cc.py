@@ -110,6 +110,7 @@ def connected_components(
     checkpoint: bool = False,
     verbose: bool = False,
     small_graph_threshold: int = 500_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) edge list → (member, cluster_id) assignment.
 
@@ -130,6 +131,9 @@ def connected_components(
     per iteration, executor-memory storage (fast). ``checkpoint=True``
     writes reliable checkpoints to the configured checkpoint dir — what a
     production run uses so a failed iteration restarts from the last one.
+
+    ``stats``: caller-supplied dict, filled with {"mode", "iterations"} —
+    bench evidence (iterations vs graph diameter) without log scraping.
     """
     import time as _time
 
@@ -148,6 +152,8 @@ def connected_components(
             assign = _unionfind_local(pairs)
             if verbose:
                 print(f"[cc] local union-find: {n_edges} edges, {len(assign)} nodes")
+            if stats is not None:
+                stats.update({"mode": "local-unionfind", "iterations": 0})
             if not assign:
                 return spark.createDataFrame([], "member string, cluster_id string")
             return spark.createDataFrame(assign, "member string, cluster_id string")
@@ -167,6 +173,8 @@ def connected_components(
         if cur == prev_sig:
             break
         prev_sig = cur
+    if stats is not None:
+        stats.update({"mode": "star-loop", "iterations": it + 1})
 
     # converged: edges point node -> component min; min itself is a member too
     members = e.select(F.col("src").alias("member"), F.col("dst").alias("cluster_id"))

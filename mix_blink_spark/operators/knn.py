@@ -154,7 +154,13 @@ def lsh_topk(
     local = tagged.groupBy("bucket").applyInPandas(
         _bucket_scorer(k), "rid string, hit_id string, score double"
     )
-    scored = local.dropDuplicates(["rid", "hit_id"])
+    # per-pair dedup across buckets via max(score), NOT dropDuplicates:
+    # the same pair's dot product is mathematically identical in every
+    # bucket, but BLAS accumulation order can differ by a ulp with the
+    # bucket matrix shape/threading, and dropDuplicates would then keep an
+    # arbitrary copy and could flip the score-desc rank near ties. max()
+    # is deterministic regardless of float identity.
+    scored = local.groupBy("rid", "hit_id").agg(F.max("score").alias("score"))
     w = Window.partitionBy("rid").orderBy(F.col("score").desc(), F.col("hit_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -272,7 +278,9 @@ def ivf_topk(
     local = queries.groupBy("cell").applyInPandas(
         score_cell, "rid string, hit_id string, score double"
     )
-    scored = local.dropDuplicates(["rid", "hit_id"])
+    # deterministic cross-cell dedup (see lsh_topk): max() is stable under
+    # last-ulp BLAS differences, dropDuplicates is not
+    scored = local.groupBy("rid", "hit_id").agg(F.max("score").alias("score"))
     w = Window.partitionBy("rid").orderBy(F.col("score").desc(), F.col("hit_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -290,6 +298,7 @@ def embedding_neardup_pairs(
     broadcast_limit: int = 250_000,
     bits: int = 4,
     tables: int = 24,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold (canonical a < b).
 
@@ -302,8 +311,12 @@ def embedding_neardup_pairs(
     pairs with bit-identical scores (every emitted pair's cosine is
     computed exactly), recall tuned via (bits, tables) — gated in
     tests/test_knn.py against the brute-force path.
+
+    ``n_rows``: caller-supplied size hint for the dispatch — skips the
+    extra full-input count() job when the caller already knows (or has a
+    plan statistic for) the input size.
     """
-    n = data.count()
+    n = n_rows if n_rows is not None else data.count()
     if n <= broadcast_limit:
         hits = brute_force_topk(data, data, k=k, id_col=id_col, emb_col=emb_col)
     else:

@@ -66,13 +66,18 @@ class LinkConfig:
     # byte-equal for standard-escaped corpora, ~no Python in the per-page
     # stage. Default False = full-fidelity Python kernel.
     jvm_extract: bool = False
+    # encoder pandas_udf (Column -> Column) — the E1/E2 production seam:
+    # None = the trigram `encode`; pass make_encoder_udf(hf_encode_batch(..))
+    # or make_encoder_udf(mini_transformer_batch(..)) to swap encoders
+    # without touching the plan (functions/embed.py)
+    encoder: object | None = None
 
     def __post_init__(self) -> None:
         check_measure(self.measure)
 
 
-def _with_emb(df: DataFrame, text_col: str = "norm") -> DataFrame:
-    return df.withColumn("emb", encode(F.col(text_col)))
+def _with_emb(df: DataFrame, text_col: str = "norm", enc=None) -> DataFrame:
+    return df.withColumn("emb", (enc or encode)(F.col(text_col)))
 
 
 def _attach_embs(pairs: DataFrame, embs_a: DataFrame, embs_b: DataFrame) -> DataFrame:
@@ -176,7 +181,7 @@ def link(
     # one eager action (the expensive encoder kernel); s_keyed fills its
     # cache lazily inside the first pairs job — cheap column exprs + one
     # tiny minhash UDF task, not worth a dedicated action per run
-    s_embs = _with_emb(surfaces.select("rid", "norm")).persist()
+    s_embs = _with_emb(surfaces.select("rid", "norm"), enc=cfg.encoder).persist()
     s_embs.count()
     mark("keys+embs materialize", _t0)
 
@@ -202,7 +207,7 @@ def link(
         # encode on one partition; large dictionaries keep parallelism
         p_ent = max(1, min(spark.sparkContext.defaultParallelism, n_alias.count() // 2000 + 1))
         eb = F.broadcast(
-            _with_emb(n_alias.coalesce(p_ent)).select(
+            _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder).select(
                 F.col("rid").alias("b"), F.col("norm").alias("norm_b"), F.col("emb").alias("emb_b")
             )
         )

@@ -28,10 +28,25 @@ from ..sources.dictionary import explode_surfaces, with_nil
 from .pipeline import build_mentions
 
 
-def entity_index(entities: DataFrame) -> tuple[np.ndarray, list[str]]:
+def entity_index(
+    entities: DataFrame, store_path: str | None = None
+) -> tuple[np.ndarray, list[str]]:
     """(matrix, ids): one row per (entity, surface) — ids repeat per alias
     so the kNN layer scores every alias and the caller dedups to the best
-    one (reference analog: one row per entity; aliases are our addition)."""
+    one (reference analog: one row per entity; aliases are our addition).
+
+    With ``store_path`` (S8 analog, reference retriever/dense.py:124-151):
+    a committed index at that path is LOADED instead of re-encoding the
+    dictionary; otherwise the freshly-built index is persisted there
+    (versioned, crash-safe — see plans.index_store) before returning."""
+    if store_path is not None:
+        from .index_store import EntityIndexStore
+
+        store = EntityIndexStore(entities.sparkSession, store_path)
+        loaded = store.load_matrix()
+        if loaded is not None:
+            return loaded
+
     rows = (
         explode_surfaces(with_nil(entities))
         .withColumn("norm", normalize_surface(F.col("surface")))
@@ -40,6 +55,19 @@ def entity_index(entities: DataFrame) -> tuple[np.ndarray, list[str]]:
     )
     ids = [r["id"] for r in rows]
     mat = encode_matrix([r["norm"] for r in rows])
+
+    if store_path is not None:
+        from ..functions.embed import DIM
+
+        spark = entities.sparkSession
+        index_df = spark.createDataFrame(
+            [(i, ids[i], [float(x) for x in mat[i]]) for i in range(len(ids))],
+            "ord int, id string, emb array<float>",
+        )
+        store.commit(
+            index_df,
+            {"encoder": "trigram", "dim": DIM, "n_rows": len(ids), "measure": "ip"},
+        )
     return mat, ids
 
 
@@ -50,12 +78,13 @@ def _mention_hits(
     entities: DataFrame,
     k: int,
     measure: str,
+    index_store: str | None = None,
 ) -> DataFrame:
     """(rid=mention_id, hit_id=entity_id, score, rank) — per-alias hits
     deduped to each entity's best alias, then re-ranked."""
     from pyspark.sql.window import Window
 
-    mat, ids = entity_index(entities)
+    mat, ids = entity_index(entities, store_path=index_store)
     mentions = build_mentions(pages, spans).select(
         F.col("mention_id").alias("rid"), "norm"
     )
@@ -79,10 +108,11 @@ def predict(
     entities: DataFrame,
     top_k: int = 5,
     measure: str = "ip",
+    index_store: str | None = None,
 ) -> DataFrame:
     """Reference predict: top-5 entities per mention, 4-dp similarity,
     300-char description (predict.py:23,46-47)."""
-    hits = _mention_hits(spark, pages, spans, entities, top_k, measure)
+    hits = _mention_hits(spark, pages, spans, entities, top_k, measure, index_store)
     return predictions_payload(hits, with_nil(entities), top_k=top_k)
 
 
@@ -94,10 +124,11 @@ def evaluate(
     golds: DataFrame,
     k: int = 100,
     measure: str = "ip",
+    index_store: str | None = None,
 ) -> DataFrame:
     """Reference blink_eval: R@1/10/50/100 + MRR over gold labels
     (evaluation/eval.py:17-59 formulas via operators/metrics)."""
-    hits = _mention_hits(spark, pages, spans, entities, min(k, 100), measure)
+    hits = _mention_hits(spark, pages, spans, entities, min(k, 100), measure, index_store)
     g = golds.select(F.col("mention_id").alias("rid"), "labels")
     best = best_ranks(hits, g)
     return recall_at_k(best, ks=(1, 10, 50, 100))

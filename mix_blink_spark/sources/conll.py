@@ -1,7 +1,8 @@
 """CoNLL → reference-JSONL ingest (the ZELDA prep path, SURVEY.md S3).
 
 Re-expresses the reference converter's semantics (scripts/zelda.py:19-133)
-so users with CoNLL data get byte-equivalent documents:
+so users with CoNLL data get equivalent documents (byte-identical on
+blank-line-terminated input; one deliberate robustness deviation below):
 
   - words join with single spaces; span char offsets derive from the
     joined text (zelda.py:66-79 ``_conll_words_to_text``);
@@ -10,7 +11,16 @@ so users with CoNLL data get byte-equivalent documents:
     span's label closes it and opens a new one; a virtual trailing ``O``
     closes the last span;
   - ``-DOCSTART-`` ends a document, ``# <id>`` (tab-split, first field)
-    names it, blank lines end sentences (zelda.py:30-52);
+    names it, blank lines end sentences (zelda.py:30-52). **Deliberate
+    deviation**: this parser also flushes a PENDING (unterminated)
+    sentence at ``-DOCSTART-`` and at EOF, where zelda.py does neither —
+    there, a sentence not closed by a blank line before ``-DOCSTART-``
+    leaks its words into the NEXT document, and a final sentence with no
+    trailing newline is silently dropped. We keep the safer flush (no
+    data loss, no cross-document leakage) and document it here the same
+    way the positional ``pop(0)`` fix is documented in
+    plans/candidates.py; files whose sentences are all blank-line
+    terminated (the published corpora) parse byte-identically either way;
   - output documents: ``{id, examples: [{id: "<doc>-<i>", text,
     entities: [{start, end, label: [..], title: [..], text}]}]}``
     with the document id falling back to its ordinal (zelda.py:118-131).

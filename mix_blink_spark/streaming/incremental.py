@@ -58,11 +58,19 @@ class IncrementalStore:
     holding ``{max_warc_ts, version}``. Readers resolve through the
     watermark, so a half-written ``v<N+1>`` from a crash is invisible and
     simply overwritten on retry.
+
+    ``retention``: how many committed versions to keep (None = keep all).
+    With a retention set, every commit prunes versions older than the
+    newest ``retention`` AFTER the watermark has advanced — so a crash at
+    any point mid-compaction only ever leaves extra (or partially deleted)
+    *stale* dirs behind, which no reader resolves (readers only follow the
+    watermark) and which the next compaction sweep re-collects.
     """
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str, retention: int | None = None):
         self.spark = spark
         self.state_dir = state_dir
+        self.retention = retention
         os.makedirs(state_dir, exist_ok=True)
         self._wm_path = os.path.join(state_dir, "watermark.json")
 
@@ -104,7 +112,35 @@ class IncrementalStore:
         with open(tmp, "w") as f:
             json.dump({"max_warc_ts": str(max_ts), "version": version}, f)
         os.replace(tmp, self._wm_path)
+        if self.retention is not None:
+            self.compact(self.retention)
         return self.spark.read.parquet(os.path.join(vdir, "assignment"))
+
+    def compact(self, keep: int = 2) -> list[int]:
+        """Delete version dirs older than the newest ``keep`` committed
+        versions; returns the pruned version numbers. Runs strictly AFTER
+        the watermark advance, and only ever touches versions below
+        ``current - keep + 1``, so the watermark's version is never a
+        deletion candidate — a crash mid-delete leaves partially-removed
+        stale dirs that resolution never reads and a later sweep finishes."""
+        import shutil
+
+        m = self._meta()
+        if m is None:
+            return []
+        cutoff = m["version"] - max(1, keep) + 1
+        pruned = []
+        for name in os.listdir(self.state_dir):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v < cutoff:
+                shutil.rmtree(os.path.join(self.state_dir, name), ignore_errors=True)
+                pruned.append(v)
+        return sorted(pruned)
 
 
 def _delta_node_map(out: dict[str, DataFrame], cfg: LinkConfig) -> DataFrame:
@@ -151,8 +187,9 @@ def _cross_batch_edges(
         broadcast_right=False,
     )
     # pre-encode each dimension side once; join embeddings onto pairs
-    ea = new_surf.select(F.col("node").alias("a"), encode(F.col("norm")).alias("emb_a"))
-    eb = prev_surf.select(F.col("node").alias("b"), encode(F.col("norm")).alias("emb_b"))
+    enc = cfg.encoder or encode
+    ea = new_surf.select(F.col("node").alias("a"), enc(F.col("norm")).alias("emb_a"))
+    eb = prev_surf.select(F.col("node").alias("b"), enc(F.col("norm")).alias("emb_b"))
     scored = score_pairs(pairs.join(ea, "a").join(eb, "b"), cfg.measure, cfg.dense_weight)
     hits = scored.filter(F.col("score") >= cfg.tau_mm).select("a", "b")
     return (

@@ -100,3 +100,42 @@ def test_commit_is_data_then_watermark(spark, corpus, tmp_path):
     assert a2.count() >= a1.count()
     # committed state is readable parquet, not the junk file
     assert store.assignment().count() == a2.count()
+
+
+def test_compaction_prunes_and_crash_mid_compact_resolves(spark, corpus, tmp_path):
+    """Retention prunes v<N dirs after each commit; a crash mid-compaction
+    (simulated as a partially-deleted stale dir) is invisible to readers,
+    which resolve only through the watermark, and the next sweep finishes
+    the cleanup."""
+    import shutil
+
+    pages = corpus["pages"]
+    golds = corpus["mentions_gold"]
+    ents = corpus["entities"]
+    spans = golds.select("url", "mention_id", "start", "end")
+
+    first, _ = _split_by_ts(pages)
+    store = IncrementalStore(spark, str(tmp_path / "state"), retention=1)
+
+    process_increment(spark, first, spans, ents, store)
+    assert os.path.isdir(str(tmp_path / "state" / "v1"))
+
+    a2 = process_increment(spark, pages, spans, ents, store)
+    n2 = a2.count()
+    # retention=1: v1 pruned automatically after v2's watermark advance
+    assert not os.path.exists(str(tmp_path / "state" / "v1"))
+    assert os.path.isdir(str(tmp_path / "state" / "v2"))
+
+    # crash mid-compaction: a stale dir survives half-deleted — readers
+    # never resolve it; an explicit sweep collects it
+    stale = tmp_path / "state" / "v1"
+    shutil.copytree(str(tmp_path / "state" / "v2"), str(stale))
+    for f in list((stale / "assignment").iterdir())[:1]:
+        f.unlink()
+    assert store.assignment().count() == n2  # still reads v2
+    assert store.compact(keep=1) == [1]
+    assert not os.path.exists(str(stale))
+
+    # watermark's own version is never a deletion candidate
+    assert store.compact(keep=1) == []
+    assert store.assignment().count() == n2

@@ -1,0 +1,91 @@
+"""S8 analog: entity-index persist/load round trip (plans/index_store.py).
+
+Reference contract: retriever/dense.py:124-151 — ``build_index`` writes the
+embedding matrix + config, ``deserialize_from`` restores and validates; the
+Spark analog is a versioned parquet snapshot with a manifest committed last.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from mix_blink_spark.plans.index_store import EntityIndexStore
+from mix_blink_spark.plans.predict import entity_index, evaluate
+
+
+@pytest.fixture()
+def store_dir(tmp_path):
+    return str(tmp_path / "entity-index")
+
+
+def test_round_trip_identical(spark, corpus, store_dir):
+    ents = corpus["entities"]
+    mat1, ids1 = entity_index(ents, store_path=store_dir)  # builds + commits v1
+    assert EntityIndexStore(spark, store_dir).version() == 1
+
+    mat2, ids2 = entity_index(ents, store_path=store_dir)  # loads v1
+    assert ids2 == ids1
+    np.testing.assert_allclose(mat2, mat1.astype(np.float32), rtol=0, atol=0)
+
+    cfg = EntityIndexStore(spark, store_dir).config()
+    assert cfg["n_rows"] == len(ids1)
+    assert cfg["dim"] == mat1.shape[1]
+    assert cfg["encoder"] == "trigram"
+
+
+def test_loaded_index_drives_predict_identically(spark, corpus, store_dir):
+    ents, pages, golds = corpus["entities"], corpus["pages"], corpus["mentions_gold"]
+    spans = golds.select("url", "mention_id", "start", "end")
+
+    fresh = evaluate(spark, pages, spans, ents, golds).collect()[0].asDict()
+    entity_index(ents, store_path=store_dir)  # persist
+    stored = evaluate(
+        spark, pages, spans, ents, golds, index_store=store_dir
+    ).collect()[0].asDict()
+    assert stored == fresh
+
+
+def test_crash_mid_write_is_invisible(spark, corpus, store_dir):
+    ents = corpus["entities"]
+    entity_index(ents, store_path=store_dir)
+    store = EntityIndexStore(spark, store_dir)
+    assert store.version() == 1
+
+    # simulate a crash: v2 data dir written, manifest NOT advanced
+    v2 = os.path.join(store_dir, "v2")
+    shutil.copytree(os.path.join(store_dir, "v1"), v2)
+    with open(os.path.join(v2, "config.json"), "w") as f:
+        json.dump({"encoder": "garbage", "dim": 1, "n_rows": 0}, f)
+
+    mat, ids = store.load_matrix()  # still resolves v1 through the manifest
+    assert store.config()["encoder"] == "trigram"
+    assert len(ids) == store.config()["n_rows"]
+
+
+def test_corrupt_config_detected(spark, corpus, store_dir):
+    entity_index(corpus["entities"], store_path=store_dir)
+    store = EntityIndexStore(spark, store_dir)
+    cfg_path = os.path.join(store_dir, "v1", "config.json")
+    cfg = json.load(open(cfg_path))
+    cfg["n_rows"] += 5
+    json.dump(cfg, open(cfg_path, "w"))
+    with pytest.raises(ValueError, match="n_rows"):
+        store.load_matrix()
+
+
+def test_versions_advance(spark, corpus, store_dir):
+    ents = corpus["entities"]
+    mat, ids = entity_index(ents)  # plain build, no store
+    store = EntityIndexStore(spark, store_dir)
+    df = spark.createDataFrame(
+        [(i, ids[i], [float(x) for x in mat[i]]) for i in range(len(ids))],
+        "ord int, id string, emb array<float>",
+    )
+    assert store.commit(df, {"encoder": "trigram", "dim": mat.shape[1], "n_rows": len(ids)}) == 1
+    assert store.commit(df, {"encoder": "trigram", "dim": mat.shape[1], "n_rows": len(ids)}) == 2
+    assert store.version() == 2
