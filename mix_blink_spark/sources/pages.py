@@ -120,3 +120,69 @@ def resolve_labels(mentions: DataFrame, dictionary_ids: DataFrame, remove_nil: b
             ).otherwise(F.col("labels")),
         )
     return out.drop("ids").filter(F.size("labels") > 0)
+
+
+def read_pages_extracted_python(
+    spark: SparkSession, path: str, columns: tuple[str, ...] = ("url", "warc_ts", "lang")
+) -> DataFrame:
+    """Python-direct scan+extract over a pages parquet: each task reads its
+    parquet ROW GROUPS with pyarrow inside the Python worker, decodes and
+    extracts html there, and returns only the (small) extracted text.
+
+    Why this exists (round-3 profiling, bench_artifacts/sysbisect_r3.json):
+    on the standard path the ~80 KB html cells are parquet-decoded by the
+    JVM and then copied again over the local Arrow socket into the Python
+    worker — at high task concurrency those kernel copies are the dominant
+    cost (box-wide sys share 22% at 32-way on scan+extract, vs 1% for
+    pure-JVM compute). Reading the row group directly in Python moves html
+    disk→worker once and ships back ~2 KB of text per page; the JVM never
+    touches the heavy column. Measured on this shared host: parity at
+    local[8] (6.9 vs 5.8 s / 60k pages) and inside host-noise at
+    local[32] (interleaved legs swing 3.5-28 s either path), so the
+    standard path stays the default; this one is the option to reach for
+    when the JVM↔Python copy is the profiled bottleneck.
+
+    Split granularity is the parquet row group — the same unit the JVM
+    scan parallelizes on, so data/task balance is unchanged at any scale.
+    Output: columns + extracted ``text`` (byte-identical to
+    ``with_extracted_text`` — gated in tests/test_text.py).
+    """
+    import pyarrow.dataset as ds
+
+    from ..functions.text import extract_text_str
+
+    frags = []
+    for frag in ds.dataset(path, format="parquet").get_fragments():
+        for rg in frag.row_groups:
+            frags.append((frag.path, rg.id))
+    if not frags:
+        return spark.createDataFrame(
+            [], ", ".join([f"{c} string" for c in columns]) + ", text string"
+        )
+    splits = spark.createDataFrame(frags, "path string, rg int").repartition(len(frags))
+
+    out_cols = list(columns) + ["text"]
+
+    def gen(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for path_, rg in zip(pdf["path"], pdf["rg"]):
+                tbl = pq.ParquetFile(path_).read_row_group(
+                    int(rg), columns=list(columns) + ["html"]
+                )
+                d = tbl.to_pandas()
+                d["text"] = d.pop("html").map(
+                    lambda b: extract_text_str(
+                        (bytes(b)).decode("utf-8", errors="replace")
+                    )
+                    if b is not None
+                    else None
+                )
+                yield d[out_cols]
+
+    schema = ", ".join(
+        f"{c} timestamp" if c == "warc_ts" else f"{c} string" for c in out_cols
+    )
+    return splits.mapInPandas(gen, schema)

@@ -93,3 +93,32 @@ def test_blocking_keys(spark):
     ).collect()
     assert out[0]["bk"] == "acme" and out[1]["bk"] == "systems"
     assert out[0]["sk"] == out[1]["sk"] == "acme systems"
+
+
+def test_python_direct_reader_byte_identical(spark, tmp_path):
+    """read_pages_extracted_python (pyarrow row-group scan + in-worker
+    extraction) must produce byte-identical text to the standard
+    with_extracted_text path on the same parquet."""
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.fixtures import corpus_dfs
+    from mix_blink_spark.sources.pages import (
+        read_pages_extracted_python,
+        with_extracted_text,
+    )
+
+    pages, _, _, _ = corpus_dfs(spark, seed=33, n_pages=120, n_entities=15)
+    path = str(tmp_path / "pages")
+    pages.select("url", "warc_ts", "html", "lang").write.parquet(path)
+
+    std = with_extracted_text(spark.read.parquet(path)).select(
+        "url", F.col("extracted_text").alias("t_std")
+    )
+    new = read_pages_extracted_python(spark, path).select(
+        "url", F.col("text").alias("t_new"), "warc_ts", "lang"
+    )
+    j = std.join(new, "url")
+    assert j.count() == 120
+    assert j.filter(F.col("t_std") != F.col("t_new")).count() == 0
+    # carried columns survive the python scan
+    assert j.filter(F.col("warc_ts").isNull() | F.col("lang").isNull()).count() == 0
