@@ -73,7 +73,10 @@ CORPUS_ROOT = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp/mbs-bench-corpus")
 # primary N vs 4N pair (cores); the 8/32 pair is recorded unconditionally
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+# 5 repeats (round 3, was 3): the shared host throws minute-scale outlier
+# windows (one 87 s leg among 56-67 s legs in the r3 artifact); a median
+# over 5 interleaved legs is materially more robust for the 0.8 gate
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
 MANDATED_LEVELS = (8, 32)
 
 
@@ -366,6 +369,17 @@ def _scaling_evidence() -> dict[str, float | list]:
         # per level) — stragglers/neighbors only ever slow a run down
         "scaling_efficiency_best": round(
             (best[SCALE_LO] / best[SCALE_HI]) / (SCALE_HI / SCALE_LO), 3
+        ),
+        # paired estimator: each interleaved (hi, lo) pair runs back to
+        # back in the same host window, so the per-pair ratio cancels
+        # window-scale drift; the median of ratios resists single-leg
+        # outliers better than the ratio of medians
+        "scaling_efficiency_paired": round(
+            statistics.median(
+                (lo / hi) / (SCALE_HI / SCALE_LO)
+                for hi, lo in zip(runs[SCALE_HI], runs[SCALE_LO])
+            ),
+            3,
         ),
     }
     # mandated 8/32 pair: recorded unconditionally, on the SAME corpus as

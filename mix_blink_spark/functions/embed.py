@@ -123,13 +123,19 @@ def hf_encode_batch(model_name: str, max_length: int = 128, normalize: bool = Tr
     return batch_fn
 
 
-def mini_transformer_batch(dim: int = DIM, layers: int = 2, max_length: int = 64, seed: int = 97):
+def mini_transformer_batch(
+    dim: int = DIM, layers: int = 2, max_length: int = 64, seed: int = 97, vocab: int = 4096
+):
     """``batch_fn`` backed by a pinned-weight pure-numpy mini-transformer —
     the E1/E2 *production seam executed without torch/transformers*
-    (round-3 verdict item 3). Same contract as ``hf_encode_batch``:
-    byte-level tokens with a CLS prefix, ``layers`` blocks of single-head
-    self-attention + GELU MLP, CLS pooling (the reference's
-    ``last_hidden_state[:, 0]``, modeling/encoder.py:62-77), L2 normalize.
+    (round-3 verdict item 3). Structurally the reference encode path
+    (P3 + E1/E2): pre-tokenize (word/punct split, the HF pre-tokenizer
+    shape), map to a fixed ``vocab`` of ids (hash-bucketed — a
+    deterministic stand-in for a learned wordpiece table), TRUNCATE to
+    ``max_length`` (the reference's tokenizer contract), prepend CLS,
+    then ``layers`` blocks of single-head self-attention + GELU MLP, CLS
+    pooling (``last_hidden_state[:, 0]``, modeling/encoder.py:62-77), L2
+    normalize.
 
     Weights are pinned by construction: generated once per worker from a
     fixed ``RandomState(seed)`` (bit-stable across platforms/processes),
@@ -137,12 +143,16 @@ def mini_transformer_batch(dim: int = DIM, layers: int = 2, max_length: int = 64
     load has, so the closure-capture + Arrow + pooling path is proven by
     a real forward pass, not a stub.
     """
+    import re as _re
+    from hashlib import blake2b as _blake2b
+
     state: dict = {}
+    _tok_re = _re.compile(r"\w+|[^\w\s]", _re.UNICODE)
 
     def _init():
         rng = np.random.RandomState(seed)
         s = 1.0 / np.sqrt(dim)
-        state["emb"] = rng.standard_normal((257, dim)) * s          # 256 bytes + CLS
+        state["emb"] = rng.standard_normal((vocab + 1, dim)) * s    # ids + CLS
         state["pos"] = rng.standard_normal((max_length + 1, dim)) * s
         state["blocks"] = [
             {
@@ -156,8 +166,14 @@ def mini_transformer_batch(dim: int = DIM, layers: int = 2, max_length: int = 64
         ]
 
     def _forward(text: str) -> np.ndarray:
-        toks = np.frombuffer(text.encode("utf-8")[: max_length], dtype=np.uint8)
-        ids = np.concatenate([[256], toks.astype(np.int64)])        # CLS first
+        # tokenize + truncate (P3): words/punct -> hashed vocab ids
+        toks = _tok_re.findall(text)[:max_length]
+        tok_ids = [
+            int.from_bytes(_blake2b(t.encode("utf-8"), digest_size=4).digest(), "big")
+            % vocab
+            for t in toks
+        ]
+        ids = np.concatenate([[vocab], np.asarray(tok_ids, dtype=np.int64)])  # CLS first
         h = state["emb"][ids] + state["pos"][: len(ids)]
         for blk in state["blocks"]:
             q, k, v = h @ blk["wq"], h @ blk["wk"], h @ blk["wv"]

@@ -257,9 +257,15 @@ def link(
             .select("norm", F.coalesce("cluster_id", F.col("rid")).alias("cluster_id"))
         )
         m = mentions.select("mention_id", "norm")
+        # the projection joins CORPUS-scale mentions against the
+        # dimension-scale surface assignment: broadcast the small side so
+        # the mention table never shuffles here. Size-gated on the n_surf
+        # we already counted — at vocabulary scales past the broadcast
+        # budget this degrades to the shuffle join AQE would plan anyway.
+        sa = F.broadcast(surf_assign) if n_surf < 2_000_000 else surf_assign
         with_norm = (
             m.filter(F.length("norm") > 0)
-            .join(surf_assign, "norm")
+            .join(sa, "norm")
             .select(F.col("mention_id").alias("member"), "cluster_id")
         )
         # empty-norm mentions: singletons

@@ -96,8 +96,8 @@ def test_mini_transformer_drives_pipeline(spark):
     # taus are per-encoder calibration (as they are for any real encoder
     # swap): the untrained mini-transformer's cosine cone is tighter than
     # the trigram encoder's, so its operating point sits higher — measured
-    # on this fixture: default (0.82/0.80) -> F1 0.965 (fp-driven),
-    # (0.93/0.90) -> 0.9996, (0.95/0.92) -> 1.0
+    # on this fixture (tokenized encoder): default (0.82/0.80) -> F1
+    # 0.987 (fp-driven), (0.88/0.86) -> 0.995, (0.93/0.90) -> 1.0
     cfg = LinkConfig(
         encoder=make_encoder_udf(mini_transformer_batch()), tau_mm=0.93, tau_ent=0.90
     )
