@@ -71,6 +71,17 @@ class LinkConfig:
     # or make_encoder_udf(mini_transformer_batch(..)) to swap encoders
     # without touching the plan (functions/embed.py)
     encoder: object | None = None
+    # per-HOST cap on concurrent scan+extract tasks (None = no cap). The
+    # html scan+extract stage is kernel-data-path bound (page-cache reads
+    # + Arrow socket copies), and a host saturates that path well below
+    # its advertised core count — this box peaks at ~8-12 concurrent
+    # data-path tasks while pure compute scales to ~26 effective cores
+    # (bench_artifacts/{sysbisect,capacity_ladder}_r3.json; capping the
+    # stage at 12 inside local[32] measured 1.8x faster than uncapped).
+    # On a multi-executor cluster the cap is per host: each executor
+    # group applies its own budget, so total scan concurrency still grows
+    # linearly with hosts.
+    io_slots: int | None = None
 
     def __post_init__(self) -> None:
         check_measure(self.measure)
@@ -87,12 +98,19 @@ def _attach_embs(pairs: DataFrame, embs_a: DataFrame, embs_b: DataFrame) -> Data
 
 
 def build_mentions(
-    pages: DataFrame, spans: DataFrame, from_html: bool = True, jvm_extract: bool = False
+    pages: DataFrame,
+    spans: DataFrame,
+    from_html: bool = True,
+    jvm_extract: bool = False,
+    io_slots: int | None = None,
 ) -> DataFrame:
     """Extract text from ``html`` (the byte-stable kernel — the pipeline's
     own text, never trusting a pre-extracted column) and slice mention
-    surfaces. ``html`` is pruned immediately after extraction."""
+    surfaces. ``html`` is pruned immediately after extraction.
+    ``io_slots``: see LinkConfig.io_slots."""
     if from_html and "html" in pages.columns:
+        if io_slots is not None:
+            pages = pages.coalesce(io_slots)
         if jvm_extract:
             from ..functions.text import extract_text_jvm
 
@@ -137,7 +155,12 @@ def link(
         if verbose:
             print(f"[link] {name}: {_time.monotonic() - t0:.2f}s")
 
-    mentions = stage("mentions", lambda: build_mentions(pages, spans, jvm_extract=cfg.jvm_extract))
+    mentions = stage(
+        "mentions",
+        lambda: build_mentions(
+            pages, spans, jvm_extract=cfg.jvm_extract, io_slots=cfg.io_slots
+        ),
+    )
     if store is None:
         mentions = mentions.persist()
 
