@@ -98,3 +98,32 @@ def test_unionfind_is_transitive_and_canonical(pairs):
     for node, root in assign.items():
         assert assign[root] == root
         assert root <= node
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_extract_total_on_arbitrary_bytes(raw):
+    """The ingest contract is total: ANY byte string — including truncated
+    multi-byte UTF-8 sequences — decodes with errors='replace' and the
+    kernel returns a deterministic str (TODO quality item, round 3)."""
+    s = raw.decode("utf-8", errors="replace")
+    out1 = extract_text_str(s)
+    out2 = extract_text_str(s)
+    assert isinstance(out1, str) and out1 == out2
+    # whitespace contract: collapsed + stripped
+    assert "  " not in out1 and out1 == out1.strip()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.text(alphabet="abc<>\"'= ", min_size=0, max_size=40),
+    st.integers(min_value=10_000, max_value=200_000),
+)
+def test_extract_total_on_huge_attribute_values(prefix, n):
+    """Megabyte-scale attribute values must not blow up the kernel's regex
+    passes (no catastrophic backtracking) and the tag must still drop."""
+    big_attr = "x" * n
+    page = f'{prefix}<a href="{big_attr}">link</a><script>{big_attr}</script>tail'
+    out = extract_text_str(page)
+    assert "link" in out and "tail" in out
+    assert big_attr not in out
