@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``queries()`` exposes one entry per implemented operator (30 total, all oracle-gated) from SURVEY.md §2
+``queries()`` exposes one entry per implemented operator (31 total, all oracle-gated) from SURVEY.md §2
 plus the training-data-pipeline operators (dedup family, ANN, text
 analysis); ``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL for the
 driver's side-by-side correctness gate at sf=0.01.
@@ -486,6 +486,31 @@ def _ann_recall_row(spark: SparkSession, sf: str, approx: DataFrame, bound: floa
     )
 
 
+def q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (the Common-Crawl dedup-key primitive,
+    functions/urls.py): scheme/host lowercasing, default-port and fragment
+    stripping, tracking-param removal — pure column expressions. Input
+    URLs are synthesized deterministically from doc_id (the driver tables
+    carry no URL column; the oracle builds the identical strings)."""
+    from mix_blink_spark.functions.urls import canonicalize_url
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTP://Example.COM:80/doc/"), i,
+                        F.lit("?utm_source=x&id="), i, F.lit("#top")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://cdn.Example.com:443/a/"), i, F.lit("?fbclid=abc")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://example.com:8080/b?id="), i, F.lit("&utm_medium=m&q=1")))
+        .otherwise(F.concat(F.lit("http://Host.example.com/c/"), i))
+    )
+    return d.select("doc_id", url.alias("url")).select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("canon_url")
+    )
+
+
 def q_ann_lsh_top1(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets, gated as
     recall@1 vs exact top-1 (bits=4/tables=24 measures 0.96-0.98 on the
@@ -542,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "inbatch_scoring": q_inbatch_scoring,
+        "url_canonicalize": q_url_canonicalize,
         "er_link_clusters": q_er_link_clusters,
         "ann_lsh_top1": q_ann_lsh_top1,
         "ann_ivf_top1": q_ann_ivf_top1,
@@ -618,6 +644,43 @@ _ER_CLUSTERS_ORACLE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_canonicalize": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            raw AS (SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'HTTP://Example.COM:80/doc/' || doc_id || '?utm_source=x&id=' || doc_id || '#top'
+                       WHEN 1 THEN 'https://cdn.Example.com:443/a/' || doc_id || '?fbclid=abc'
+                       WHEN 2 THEN 'https://example.com:8080/b?id=' || doc_id || '&utm_medium=m&q=1'
+                       ELSE 'http://Host.example.com/c/' || doc_id
+                     END AS url FROM d),
+            parts AS (SELECT doc_id, url,
+                       regexp_replace(url, '#.*$', '') AS u FROM raw),
+            p2 AS (SELECT doc_id, url, u,
+                    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+                   FROM parts),
+            p3 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS authority FROM p2),
+            p4 AS (SELECT *, substr(rest, length(authority) + 1) AS tail,
+                    CASE WHEN scheme = 'http' THEN regexp_replace(lower(authority), ':80$', '')
+                         WHEN scheme = 'https' THEN regexp_replace(lower(authority), ':443$', '')
+                         ELSE lower(authority) END AS auth_np
+                   FROM p3),
+            p5 AS (SELECT *, regexp_extract(tail, '^([^?]*)', 1) AS path,
+                    CASE WHEN length(tail) > length(regexp_extract(tail, '^([^?]*)', 1))
+                         THEN substr(tail, length(regexp_extract(tail, '^([^?]*)', 1)) + 2)
+                         ELSE '' END AS query
+                   FROM p4),
+            p6 AS (SELECT *, array_to_string(
+                     list_filter(string_split(query, '&'),
+                       p -> length(p) > 0 AND NOT regexp_matches(p, '^(utm_|fbclid=|gclid=|msclkid=)')),
+                     '&') AS new_query
+                   FROM p5)
+            SELECT doc_id, url,
+                   scheme || '://' || auth_np || path ||
+                   CASE WHEN length(new_query) > 0 THEN '?' || new_query ELSE '' END
+                   AS canon_url
+            FROM p6
+        """,
         "ann_lsh_top1": _ann_recall_oracle("recall_ge_090"),
         "ann_ivf_top1": _ann_recall_oracle("recall_ge_085"),
         "er_link_clusters": _ER_CLUSTERS_ORACLE,
