@@ -105,6 +105,7 @@ def make_entities(rng: random.Random, n: int) -> list[Entity]:
     """n dictionary entities + deterministic alias surfaces each."""
     names: list[tuple[str, str]] = []
     seen: set[str] = set()
+    misses = 0
     while len(names) < n:
         if len(names) % 12 == 3:  # hot-key family
             first = _HOT_TOKEN
@@ -114,7 +115,19 @@ def make_entities(rng: random.Random, n: int) -> list[Entity]:
         if base in seen:
             base = f"{base} {rng.choice(_SUFFIX)}"
         if base in seen:
-            continue
+            # the token vocabularies are finite (26x16 bases, 96
+            # hot-family names): once n outgrows the namespace the retry
+            # loop LIVELOCKS (hit at n>~1150 by the round-3 high-vocab
+            # leg). Retry as before (keeps the rng stream — and therefore
+            # every existing corpus — identical at small n), but after a
+            # burst of consecutive misses disambiguate with len(names),
+            # which is fresh per accepted name and never collides with a
+            # vocabulary base (bases don't end in digits).
+            misses += 1
+            if misses < 200:
+                continue
+            base = f"{base} {len(names)}"
+        misses = 0
         seen.add(base)
         names.append((base, rng.choice(_CITY)))
     out: list[Entity] = []

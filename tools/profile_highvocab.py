@@ -1,0 +1,87 @@
+"""High-vocabulary evidence leg: the pipeline's quadratic stage runs on
+DISTINCT normalized surfaces, and the bench corpus only has ~625 of them
+(dimension-scale). This leg scales the dictionary to tens of thousands of
+entities so the distinct-surface set reaches vocabulary scale (~4 surfaces
+per entity + NIL names), exercising the blocking/pair/CC stages where they
+actually cost something — the regime the 100 TB design cares about.
+
+Usage: python tools/profile_highvocab.py [--pages 60000] [--entities 20000]
+Output: one JSON line with stage timings + graph/cluster sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CORPUS_DIR", "/tmp/mbs-highvocab-corpus")
+    import bench
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.fixtures import distributed_corpus
+    from mix_blink_spark.plans.pipeline import LinkConfig, link
+
+    pages_n, ents_n = 60000, 20000
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        if args[i] == "--pages":
+            pages_n = int(args[i + 1]); i += 2
+        elif args[i] == "--entities":
+            ents_n = int(args[i + 1]); i += 2
+        else:
+            i += 1
+
+    spark = bench._session(8)
+    root = os.environ["SPARK_GRAFT_CORPUS_DIR"]
+    path = f"{root}-{pages_n}-{ents_n}"
+    if not os.path.exists(os.path.join(path, "corpus", "_SUCCESS")):
+        corpus, ents = distributed_corpus(
+            spark, pages_n, ents_n, seed=11, boiler_kb=bench.ER_BOILER_KB
+        )
+        corpus.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+        ents.write.mode("overwrite").parquet(os.path.join(path, "entities"))
+    bench._warm_page_cache(path)
+
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    ents = spark.read.parquet(os.path.join(path, "entities"))
+    pages = corpus.select("url", "warc_ts", "html", "lang")
+    spans = corpus.select("url", F.explode("mentions").alias("m")).select(
+        "url", "m.mention_id", "m.start", "m.end"
+    )
+
+    t0 = time.monotonic()
+    out = link(spark, pages, spans, ents, LinkConfig(), verbose=True)
+    clusters = out["clusters"].persist()
+    n_members = clusters.count()
+    total = time.monotonic() - t0
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    n_surfaces = (
+        out["mentions"].select("norm").filter(F.length("norm") > 0).distinct().count()
+    )
+    n_edges = out["edges"].count()
+    print(
+        json.dumps(
+            {
+                "pages": pages_n,
+                "entities": ents_n,
+                "total_sec": round(total, 1),
+                "distinct_surfaces": n_surfaces,
+                "edges": n_edges,
+                "members": n_members,
+                "clusters": n_clusters,
+                "docs_per_sec": round(pages_n / total, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
