@@ -65,7 +65,10 @@ def main() -> None:
     n_surfaces = (
         out["mentions"].select("norm").filter(F.length("norm") > 0).distinct().count()
     )
-    n_edges = out["edges"].count()
+    # edges were unpersisted by link(); count via the cheap mm+me plan
+    # rebuild would re-run the scoring DAG — read the size from the CC
+    # probe instead (verbose log) or skip; report -1 when unavailable
+    n_edges = -1
     print(
         json.dumps(
             {
