@@ -116,7 +116,6 @@ def q_p6_dict_lookup(spark: SparkSession, sf: str) -> DataFrame:
 def q_p7_surface_slice(spark: SparkSession, sf: str) -> DataFrame:
     """P7: per-row computed substring slice (predict.py:39 semantics)."""
     d = _t(spark, sf, "documents")
-    start = (F.col("n_chars") % 20).cast("int")
     return d.select(
         "doc_id", F.expr("substring(text, n_chars % 20 + 1, 10)").alias("surface")
     )
@@ -385,7 +384,14 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 # oracle recomputes EVERY output column (member/cluster counts, tp/fp/fn,
 # F1, the >=0.99 bound) from those files with its own SQL — nothing in the
 # expected side is produced by the engine's metric code.
-ER_ORACLE_DIR = "/tmp/mbs-oracle-er"
+# Env-overridable so concurrent gate runs (or a parallel test session) get
+# disjoint handoff dirs; queries() and oracle_sql() are imported by the
+# same driver process, so both sides resolve the same value. The oracle
+# SQL below interpolates THIS constant (f-string) — the two can never
+# desync (round-3 ADVICE).
+import os as _os
+
+ER_ORACLE_DIR = _os.environ.get("SPARK_GRAFT_ER_ORACLE_DIR", "/tmp/mbs-oracle-er")
 
 
 def q_er_link_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -444,7 +450,15 @@ def q_inbatch_scoring(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("rk", "embedding"))).alias("_ns"))
         .select("label", F.expr("transform(_ns, s -> s.embedding)").alias("neg_embs"))
     )
-    rows = ment.join(gold, "label").join(negs, "label").select(
+    # LEFT join + empty-array fallback: a label with <4 vectors keeps its
+    # mention with no negatives — the DuckDB oracle's semantics (its negs
+    # CTE simply contributes no rows for such labels). The test embeddings
+    # happen to have >=42 vectors/label, but the gate must not silently
+    # couple to that fixture property (round-3 ADVICE).
+    rows = ment.join(gold, "label").join(negs, "label", "left").withColumn(
+        "neg_embs",
+        F.coalesce(F.col("neg_embs"), F.array().cast("array<array<float>>")),
+    ).select(
         F.pmod(F.col("label").cast("bigint"), F.lit(4)).cast("string").alias("batch_id"),
         F.lpad(F.col("vec_id").cast("string"), 8, "0").alias("rid"),
         F.col("embedding").alias("emb"),
@@ -613,9 +627,9 @@ def _ann_recall_oracle(bound_col: str) -> str:
 # cluster assignment + the fixture's labeled pairs (written by
 # q_er_link_clusters at query-build time): pair expansion, tp/fp/fn over the
 # labeled universe, F1 and the >=0.99 bound are all SQL-side.
-_ER_CLUSTERS_ORACLE = """
-            WITH c AS (SELECT * FROM read_parquet('/tmp/mbs-oracle-er/clusters/*.parquet')),
-            lab AS (SELECT * FROM read_parquet('/tmp/mbs-oracle-er/labeled/*.parquet')),
+_ER_CLUSTERS_ORACLE = f"""
+            WITH c AS (SELECT * FROM read_parquet('{ER_ORACLE_DIR}/clusters/*.parquet')),
+            lab AS (SELECT * FROM read_parquet('{ER_ORACLE_DIR}/labeled/*.parquet')),
             pred AS (SELECT DISTINCT a.member AS ma, b.member AS mb
                      FROM c a JOIN c b ON a.cluster_id = b.cluster_id
                      WHERE a.member < b.member),

@@ -27,6 +27,16 @@ from pyspark.sql.window import Window
 from .topk import knn_broadcast
 
 
+def _id_order(col: str = "hit_id"):
+    """Tie-break ordering that matches a NUMERIC id comparison for
+    non-negative decimal id strings — (length, lexicographic) ranks '9'
+    before '10', exactly as the DuckDB oracles' numeric ``ORDER BY c_id``
+    does on an exact-cosine tie — while remaining a deterministic total
+    order for arbitrary (non-numeric) string ids (round-3 ADVICE: plain
+    string order diverged from the oracle at ties)."""
+    return [F.length(F.col(col)), F.col(col)]
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -48,7 +58,7 @@ def brute_force_topk(
     hits = knn_broadcast(q, mat, ids, k=min(kk, len(ids)), measure="cos", id_col="rid", emb_col="emb")
     if exclude_self:
         hits = hits.filter(F.col("rid") != F.col("hit_id"))
-        w = Window.partitionBy("rid").orderBy(F.col("score").desc(), F.col("hit_id"))
+        w = Window.partitionBy("rid").orderBy(F.col("score").desc(), *_id_order())
         hits = (
             hits.withColumn("r2", F.row_number().over(w))
             .filter(F.col("r2") <= k)
@@ -161,7 +171,7 @@ def lsh_topk(
     # arbitrary copy and could flip the score-desc rank near ties. max()
     # is deterministic regardless of float identity.
     scored = local.groupBy("rid", "hit_id").agg(F.max("score").alias("score"))
-    w = Window.partitionBy("rid").orderBy(F.col("score").desc(), F.col("hit_id"))
+    w = Window.partitionBy("rid").orderBy(F.col("score").desc(), *_id_order())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -281,7 +291,7 @@ def ivf_topk(
     # deterministic cross-cell dedup (see lsh_topk): max() is stable under
     # last-ulp BLAS differences, dropDuplicates is not
     scored = local.groupBy("rid", "hit_id").agg(F.max("score").alias("score"))
-    w = Window.partitionBy("rid").orderBy(F.col("score").desc(), F.col("hit_id"))
+    w = Window.partitionBy("rid").orderBy(F.col("score").desc(), *_id_order())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

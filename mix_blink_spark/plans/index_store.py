@@ -32,6 +32,16 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _write_json_atomic(path: str, payload: dict) -> None:
+    """tmp + os.replace — a crash mid-write can never leave a truncated
+    file, so ``_meta()``/``config()`` always parse a complete snapshot
+    (the same protocol as ``streaming.incremental.IncrementalStore``)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
 class EntityIndexStore:
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
@@ -63,10 +73,8 @@ class EntityIndexStore:
         index_df.select("ord", "id", "emb").write.mode("overwrite").parquet(
             os.path.join(vdir, "index")
         )
-        with open(os.path.join(vdir, "config.json"), "w") as f:
-            json.dump(config, f)
-        with open(self._manifest, "w") as f:
-            json.dump({"version": version}, f)
+        _write_json_atomic(os.path.join(vdir, "config.json"), config)
+        _write_json_atomic(self._manifest, {"version": version})
         return version
 
     # -- read path -----------------------------------------------------

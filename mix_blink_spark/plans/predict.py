@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.embed import encode, encode_matrix
+from ..functions.embed import encode
 from ..functions.text import normalize_surface
 from ..operators.metrics import best_ranks, recall_at_k
 from ..operators.topk import knn_broadcast, predictions_payload
@@ -47,19 +47,33 @@ def entity_index(
         if loaded is not None:
             return loaded
 
-    rows = (
+    # Encoding runs as a Spark job through the encoder pandas_udf (the
+    # same seam pipeline.py:225-237 uses for alias pre-encode) and only the
+    # FINISHED vectors are collected — with 10^6 aliases and a real
+    # transformer behind the seam, the executors do the model work; the
+    # driver never calls the encoder (round-3 verdict item 4). Rows are
+    # sorted (id, norm) driver-side for a deterministic ord, independent of
+    # partitioning.
+    spark = entities.sparkSession
+    surfs = (
         explode_surfaces(with_nil(entities))
         .withColumn("norm", normalize_surface(F.col("surface")))
         .select("id", "norm")
-        .collect()
+    )
+    rows = sorted(
+        surfs.withColumn("emb", encode(F.col("norm"))).collect(),
+        key=lambda r: (r["id"], r["norm"]),
     )
     ids = [r["id"] for r in rows]
-    mat = encode_matrix([r["norm"] for r in rows])
+    mat = (
+        np.array([r["emb"] for r in rows], dtype=np.float32)
+        if rows
+        else np.zeros((0, 0), np.float32)
+    )
 
     if store_path is not None:
         from ..functions.embed import DIM
 
-        spark = entities.sparkSession
         index_df = spark.createDataFrame(
             [(i, ids[i], [float(x) for x in mat[i]]) for i in range(len(ids))],
             "ord int, id string, emb array<float>",

@@ -49,6 +49,45 @@ def test_predict_top1_accuracy_on_variants(spark, inputs):
     assert correct / n >= 0.97, f"top-1 accuracy {correct}/{n}"
 
 
+def test_entity_index_encodes_on_executors(spark, inputs, monkeypatch):
+    """The index build must run the encoder as a Spark job (the pandas_udf
+    seam) and collect only finished vectors — never call the encoder in the
+    driver process (round-3 verdict item 4: with 10^6 aliases and a real
+    transformer, driver-side encoding serializes the whole build).
+
+    Driver-side monkeypatches do NOT propagate to Python UDF workers
+    (separate processes re-import the module), so poisoning the batch
+    encoders here proves no driver call happens while leaving executor
+    encoding intact."""
+    import numpy as np
+
+    import mix_blink_spark.functions.embed as embed
+    from mix_blink_spark.functions.text import normalize_surface
+    from mix_blink_spark.plans.predict import entity_index
+    from mix_blink_spark.sources.dictionary import explode_surfaces, with_nil
+
+    _, _, ents, _ = inputs
+    # expected (id, norm) via pure column exprs — never touches the encoder
+    expected_norms = sorted(
+        (r["id"], r["norm"])
+        for r in explode_surfaces(with_nil(ents))
+        .select("id", normalize_surface(F.col("surface")).alias("norm"))
+        .collect()
+    )
+
+    def _poison(*a, **k):
+        raise AssertionError("encoder called in the driver process")
+
+    monkeypatch.setattr(embed, "encode_matrix", _poison)
+    monkeypatch.setattr(embed, "encode_one", _poison)
+    mat, ids = entity_index(ents)
+    monkeypatch.undo()
+
+    assert ids == [i for i, _ in expected_norms]
+    ref = embed.encode_matrix([n for _, n in expected_norms])
+    np.testing.assert_allclose(mat, ref, rtol=0, atol=1e-6)
+
+
 def test_evaluate_recall_metrics(spark, inputs):
     pages, spans, ents, golds = inputs
     m = evaluate(spark, pages, spans, ents, golds, k=100).first()
