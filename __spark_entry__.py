@@ -409,7 +409,9 @@ def q_er_link_clusters(spark: SparkSession, sf: str) -> DataFrame:
     n_pages = 400 if "0.001" in sf else 1500
     pages, ents, golds, labeled = corpus_dfs(spark, seed=7, n_pages=n_pages, n_entities=60)
     spans = golds.select("url", "mention_id", "start", "end")
-    out = link(spark, pages, spans, ents, LinkConfig())
+    # broadcast_spans exercises the shuffle-free mentions join (the bench
+    # path's plan) under the correctness gate; output is join-order-invariant
+    out = link(spark, pages, spans, ents, LinkConfig(broadcast_spans=True))
     clusters = out["clusters"].persist()
     clusters.write.mode("overwrite").parquet(f"{ER_ORACLE_DIR}/clusters")
     labeled.write.mode("overwrite").parquet(f"{ER_ORACLE_DIR}/labeled")

@@ -201,7 +201,16 @@ def _run_er(spark, n_pages: int = ER_PAGES, jvm_extract: bool = False) -> tuple[
     dp = spark.sparkContext.defaultParallelism
     io_slots = 12 if dp > 12 else None
     t0 = time.monotonic()
-    out = link(spark, pages, spans, ents, LinkConfig(jvm_extract=jvm_extract, io_slots=io_slots))
+    # broadcast_spans: span rows are ~60 B (tens of MB even at bench
+    # scale), so the heavy text column never crosses a shuffle — the
+    # round-3 sysbisect pinned 40% box sys-share on exactly that exchange
+    out = link(
+        spark,
+        pages,
+        spans,
+        ents,
+        LinkConfig(jvm_extract=jvm_extract, io_slots=io_slots, broadcast_spans=True),
+    )
     out["clusters"].count()
     elapsed = time.monotonic() - t0
     return elapsed, n_pages

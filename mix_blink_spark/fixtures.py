@@ -101,8 +101,18 @@ def _typo(rng: random.Random, s: str) -> str:
     return s[:i] + rng.choice("aeiou") + s[i + 1 :]  # substitute
 
 
-def make_entities(rng: random.Random, n: int) -> list[Entity]:
-    """n dictionary entities + deterministic alias surfaces each."""
+def make_entities(rng: random.Random, n: int, wide: bool = False) -> list[Entity]:
+    """n dictionary entities + deterministic alias surfaces each.
+
+    ``wide=True`` draws from a much larger, less-confusable name space
+    (three-token bases — ~5k distinct before fallbacks, vs 416 two-token
+    bases) — the REALISTIC high-vocabulary shape: Common-Crawl
+    dictionaries have millions of mostly-distinct names, not dozens of
+    entities per base name. The default (False) keeps the adversarial
+    small-namespace generator and its rng stream byte-identical (every
+    existing test/bench corpus is unchanged); the round-3 highvocab
+    profile's near-total cluster collapse (263 clusters for 8k entities)
+    was an artifact of that adversarial namespace at scale."""
     names: list[tuple[str, str]] = []
     seen: set[str] = set()
     misses = 0
@@ -111,7 +121,10 @@ def make_entities(rng: random.Random, n: int) -> list[Entity]:
             first = _HOT_TOKEN
         else:
             first = rng.choice(_FIRST)
-        base = f"{first} {rng.choice(_SECOND)}"
+        if wide:
+            base = f"{first} {rng.choice(_SECOND)} {rng.choice(_CITY)}"
+        else:
+            base = f"{first} {rng.choice(_SECOND)}"
         if base in seen:
             base = f"{base} {rng.choice(_SUFFIX)}"
         if base in seen:
@@ -359,14 +372,23 @@ CORPUS_SCHEMA = (
 )
 
 
-def distributed_corpus(spark, n_pages: int, n_entities: int = 300, seed: int = 11, boiler_kb: int = 0):
+def distributed_corpus(
+    spark,
+    n_pages: int,
+    n_entities: int = 300,
+    seed: int = 11,
+    boiler_kb: int = 0,
+    wide_names: bool = False,
+):
     """(corpus_df, entities_df): corpus generated executor-side via
     mapInPandas over index ranges; entity catalog broadcast from the driver
-    (dimension-sized). Page i is identical under any partitioning."""
+    (dimension-sized). Page i is identical under any partitioning.
+    ``wide_names``: realistic (less-confusable) dictionary — see
+    ``make_entities``."""
     import pandas as pd
 
     rng = random.Random(seed)
-    entities = make_entities(rng, n_entities)
+    entities = make_entities(rng, n_entities, wide=wide_names)
     nil_names = [
         f"{rng.choice(_FIRST)}{rng.choice(_SECOND)}X{j}" for j in range(max(3, n_entities // 5))
     ]

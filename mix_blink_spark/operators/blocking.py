@@ -166,6 +166,8 @@ def cross_family_pairs(
     left_keyed: DataFrame,
     right_keyed: DataFrame,
     broadcast_right: bool = True,
+    max_block_size: int | None = None,
+    neighborhood: int = 8,
 ) -> DataFrame:
     """Mention/surface→entity candidate pairs: equi-join two keyed sets on
     blocking key. The entity side is dimension-sized → broadcast (no
@@ -173,14 +175,88 @@ def cross_family_pairs(
 
     One entity id can carry several alias surfaces (norm_b); pairs are
     deduped per (a, b, norm_b) so each alias is scored independently —
-    the caller's top-1 then picks the best alias of the best entity."""
+    the caller's top-1 then picks the best alias of the best entity.
+
+    ``max_block_size`` is the high-vocabulary skew guard (round-3 finding:
+    a hot key like ``tk:global`` at 8k entities carried ~2.6k surfaces x
+    ~2k aliases = 5M scored pairs on ONE key — the dominant cost of the
+    whole pipeline). Keys whose combined (surface + alias) membership
+    exceeds the cap switch from the exact product join to a
+    sorted-neighborhood pairing, mirroring ``candidate_pairs``: surfaces
+    and aliases are interleaved in norm order within the key, and each
+    surface pairs with the ``neighborhood`` aliases on either side of its
+    insertion point. Pairs worth scoring are string-similar, and
+    string-similar norms are sort-adjacent — so the survivors are exactly
+    the candidates that could clear ``tau_ent``, at O(size·w) instead of
+    O(|L|·|R|). ``None`` (default) keeps the exact join everywhere."""
     right = right_keyed.select(
         F.col("key"), F.col("rid").alias("b"), F.col("norm").alias("norm_b")
     )
+    left = left_keyed.select(
+        "key", F.col("rid").alias("a"), F.col("norm").alias("norm_a")
+    )
+    if max_block_size is None:
+        if broadcast_right:
+            right = F.broadcast(right)
+        return left.join(right, "key").dropDuplicates(["a", "b", "norm_b"])
+
+    combo = left.select(
+        "key", F.col("a").alias("rid"), F.col("norm_a").alias("norm"),
+        F.lit("L").alias("side"),
+    ).unionByName(
+        right.select(
+            "key", F.col("b").alias("rid"), F.col("norm_b").alias("norm"),
+            F.lit("R").alias("side"),
+        )
+    )
+    sizes = block_sizes_salted(combo)
+    k = combo.join(sizes, "key").filter(F.length("norm") > 0)
+
+    small = k.filter(F.col("block_n") <= max_block_size)
+    small_l = small.filter(F.col("side") == "L").select(
+        "key", F.col("rid").alias("a"), F.col("norm").alias("norm_a")
+    )
+    small_r = small.filter(F.col("side") == "R").select(
+        "key", F.col("rid").alias("b"), F.col("norm").alias("norm_b")
+    )
     if broadcast_right:
-        right = F.broadcast(right)
+        small_r = F.broadcast(small_r)
+    small_pairs = small_l.join(small_r, "key")
+
+    from pyspark.sql.window import Window
+
+    big = k.filter(F.col("block_n") > max_block_size)
+    # rpos = rank of the row's insertion point among the key's R rows
+    # ('R' sorts before 'L' at equal norm, so an exact alias match is
+    # always counted into its surface's window)
+    w_ord = (
+        Window.partitionBy("key")
+        .orderBy("norm", F.col("side").desc(), "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = big.withColumn(
+        "rpos",
+        F.sum(F.when(F.col("side") == "R", 1).otherwise(0)).over(w_ord),
+    )
+    big_l = ranked.filter(F.col("side") == "L").select(
+        "key", F.col("rid").alias("a"), F.col("norm").alias("norm_a"), "rpos"
+    )
+    big_r = ranked.filter(F.col("side") == "R").select(
+        "key", F.col("rid").alias("b"), F.col("norm").alias("norm_b"),
+        F.col("rpos").alias("rpos_r"),
+    )
+    big_pairs = (
+        big_l.join(
+            big_r,
+            (big_l["key"] == big_r["key"])
+            & (F.col("rpos_r") > F.col("rpos") - neighborhood)
+            & (F.col("rpos_r") <= F.col("rpos") + neighborhood),
+        )
+        .select("a", "b", "norm_a", "norm_b")
+    )
+
     return (
-        left_keyed.select("key", F.col("rid").alias("a"), F.col("norm").alias("norm_a"))
-        .join(right, "key")
+        small_pairs.select("a", "b", "norm_a", "norm_b")
+        .unionByName(big_pairs)
         .dropDuplicates(["a", "b", "norm_b"])
     )

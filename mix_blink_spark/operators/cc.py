@@ -111,6 +111,7 @@ def connected_components(
     verbose: bool = False,
     small_graph_threshold: int = 500_000,
     stats: dict | None = None,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """(src, dst) edge list → (member, cluster_id) assignment.
 
@@ -134,6 +135,14 @@ def connected_components(
 
     ``stats``: caller-supplied dict, filled with {"mode", "iterations"} —
     bench evidence (iterations vs graph diameter) without log scraping.
+
+    ``n_edges_hint``: caller-known UPPER BOUND on the raw edge count
+    (e.g. the count() that materialized a persisted edge frame).
+    ``_canonical`` only ever shrinks the set, so a hint at or under the
+    threshold dispatches straight to the driver path without the
+    limit-probe action — one fewer job per run (the probe re-executed the
+    whole upstream DAG before edges were persisted, and still costs a
+    scheduling round trip after).
     """
     import time as _time
 
@@ -146,12 +155,18 @@ def connected_components(
 
     canon = _canonical(edges)
     if small_graph_threshold > 0:
-        n_edges = canon.limit(small_graph_threshold + 1).count()
-        if n_edges <= small_graph_threshold:
+        if n_edges_hint is not None and n_edges_hint <= small_graph_threshold:
+            small = True
+        else:
+            small = (
+                canon.limit(small_graph_threshold + 1).count()
+                <= small_graph_threshold
+            )
+        if small:
             pairs = [(r["src"], r["dst"]) for r in canon.collect()]
             assign = _unionfind_local(pairs)
             if verbose:
-                print(f"[cc] local union-find: {n_edges} edges, {len(assign)} nodes")
+                print(f"[cc] local union-find: {len(pairs)} edges, {len(assign)} nodes")
             if stats is not None:
                 stats.update({"mode": "local-unionfind", "iterations": 0})
             if not assign:

@@ -45,7 +45,7 @@ from ..functions.embed import encode
 from ..functions.text import normalize_surface
 from ..operators.blocking import candidate_pairs, cross_family_pairs, keyed_records
 from ..operators.cc import connected_components
-from ..operators.scoring import check_measure, score_pairs
+from ..operators.scoring import check_measure, make_broadcast_dense_udf, score_pairs
 from ..sources.dictionary import explode_surfaces, with_nil
 from ..sources.pages import mentions_from_spans, with_extracted_text
 from .resume import StageStore
@@ -82,6 +82,23 @@ class LinkConfig:
     # group applies its own budget, so total scan concurrency still grows
     # linearly with hosts.
     io_slots: int | None = None
+    # broadcast the span table into the pages join so the heavy text
+    # column never shuffles (sources/pages.mentions_from_spans) — right
+    # whenever the span set fits a broadcast; the profiled 40%-sys
+    # shuffle of round 3 was exactly this join's exchange
+    broadcast_spans: bool = False
+    # high-vocabulary guard for the surface→entity candidate join: keys
+    # whose combined membership exceeds max_block_size switch to
+    # sorted-neighborhood pairing (operators/blocking.cross_family_pairs).
+    # None = exact join on every key (round-3 behavior; collapses at
+    # Common-Crawl vocabulary — a hot key at 8k entities carried 5M pairs)
+    me_max_block_size: int | None = 200
+    # up to this many distinct surfaces, pair scoring reads embeddings
+    # from BROADCAST matrices (north_star: the embedding index as a
+    # broadcast variable) and pair rows carry only ids — ~0.5 KB/row less
+    # shuffle+Arrow traffic. Above it, the join-the-vectors plan (scales
+    # to any vocabulary) takes over. 500k rows x 64 float32 = 128 MB.
+    broadcast_dense_limit: int = 500_000
 
     def __post_init__(self) -> None:
         check_measure(self.measure)
@@ -103,6 +120,7 @@ def build_mentions(
     from_html: bool = True,
     jvm_extract: bool = False,
     io_slots: int | None = None,
+    broadcast_spans: bool = False,
 ) -> DataFrame:
     """Extract text from ``html`` (the byte-stable kernel — the pipeline's
     own text, never trusting a pre-extracted column) and slice mention
@@ -122,7 +140,7 @@ def build_mentions(
                 with_extracted_text(pages)
                 .select("url", F.col("extracted_text").alias("text"), "lang")
             )
-    return mentions_from_spans(pages, spans)
+    return mentions_from_spans(pages, spans, broadcast_spans=broadcast_spans)
 
 
 def link(
@@ -158,7 +176,11 @@ def link(
     mentions = stage(
         "mentions",
         lambda: build_mentions(
-            pages, spans, jvm_extract=cfg.jvm_extract, io_slots=cfg.io_slots
+            pages,
+            spans,
+            jvm_extract=cfg.jvm_extract,
+            io_slots=cfg.io_slots,
+            broadcast_spans=cfg.broadcast_spans,
         ),
     )
     if store is None:
@@ -201,41 +223,92 @@ def link(
     s_keyed = keyed_records(surfaces, "rid").persist()
     e_keyed = keyed_records(ent_surfaces, "rid")
 
-    # one eager action (the expensive encoder kernel); s_keyed fills its
-    # cache lazily inside the first pairs job — cheap column exprs + one
-    # tiny minhash UDF task, not worth a dedicated action per run
+    # s_keyed fills its cache lazily inside the first pairs job — cheap
+    # column exprs + one tiny minhash UDF task, not worth a dedicated
+    # action per run. The encoder kernel (one eager action) runs as a
+    # Spark job either way; at dimension scale its RESULT is collected
+    # into broadcast matrices so candidate pairs carry only ids — the
+    # north_star's "embedding index as a broadcast variable". Above the
+    # limit (vocabularies past driver memory) the vectors stay distributed
+    # and join onto pairs instead.
     s_embs = _with_emb(surfaces.select("rid", "norm"), enc=cfg.encoder).persist()
-    s_embs.count()
+    use_bc = n_surf <= cfg.broadcast_dense_limit
+    bc_s = None
+    if use_bc:
+        import numpy as np
+
+        spdf = s_embs.select("rid", "emb").toPandas()
+        s_ids = {r: i for i, r in enumerate(spdf["rid"])}
+        s_mat = (
+            np.stack(spdf["emb"].to_numpy()).astype(np.float32)
+            if len(spdf)
+            else np.zeros((0, 1), np.float32)
+        )
+        bc_s = spark.sparkContext.broadcast((s_ids, s_mat))
+    else:
+        s_embs.count()
     mark("keys+embs materialize", _t0)
 
     def mm_pairs():
         p = candidate_pairs(s_keyed, cfg.max_block_size, cfg.neighborhood)
-        p = _attach_embs(p, s_embs, s_embs)
-        return score_pairs(p, cfg.measure, cfg.dense_weight).select(
-            "a", "b", "dense", "jw", "lev", "score"
-        )
+        if use_bc:
+            dense_udf = make_broadcast_dense_udf(cfg.measure, bc_s, bc_s)
+            p = p.withColumn("dense", dense_udf(F.col("a"), F.col("b")))
+            scored = score_pairs(p, cfg.measure, cfg.dense_weight, dense_col="dense")
+        else:
+            p = _attach_embs(p, s_embs, s_embs)
+            scored = score_pairs(p, cfg.measure, cfg.dense_weight)
+        return scored.select("a", "b", "dense", "jw", "lev", "score")
 
     def me_pairs():
         # entity aliases scored independently (entity rid alone is not
         # unique — one entity can carry several alias norms). Aliases are
-        # pre-encoded ONCE as a dimension table and broadcast-joined onto
-        # the pairs: encoding on the pair rows would run the encoder UDF
-        # once per (surface, alias) pair — a fan-out multiplier on encoder
-        # cost that melts with a real transformer behind the seam.
-        p = cross_family_pairs(s_keyed, e_keyed)
-        ea = s_embs.select(F.col("rid").alias("a"), F.col("emb").alias("emb_a"))
+        # pre-encoded ONCE as a dimension table (encoding on the pair rows
+        # would run the encoder UDF once per (surface, alias) pair — a
+        # fan-out multiplier that melts with a real transformer behind the
+        # seam), then either collected into a broadcast matrix keyed by
+        # (rid, norm) or broadcast-joined onto the pairs.
+        p = cross_family_pairs(
+            s_keyed,
+            e_keyed,
+            max_block_size=cfg.me_max_block_size,
+            neighborhood=cfg.neighborhood,
+        )
         n_alias = ent_surfaces.select("rid", "norm").distinct()
         # same dimension-scale partitioning heuristic as `surfaces`: each
         # Arrow UDF task has a ~0.25 s fixed cost, so tiny alias tables
         # encode on one partition; large dictionaries keep parallelism
         p_ent = max(1, min(spark.sparkContext.defaultParallelism, n_alias.count() // 2000 + 1))
-        eb = F.broadcast(
-            _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder).select(
-                F.col("rid").alias("b"), F.col("norm").alias("norm_b"), F.col("emb").alias("emb_b")
+        alias_embs = _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder)
+        if use_bc:
+            import numpy as np
+
+            apdf = alias_embs.select("rid", "norm", "emb").toPandas()
+            a_ids = {
+                f"{r}\x00{nm}": i
+                for i, (r, nm) in enumerate(zip(apdf["rid"], apdf["norm"]))
+            }
+            a_mat = (
+                np.stack(apdf["emb"].to_numpy()).astype(np.float32)
+                if len(apdf)
+                else np.zeros((0, 1), np.float32)
             )
-        )
-        p = p.join(ea, "a").join(eb, ["b", "norm_b"])
-        scored = score_pairs(p, cfg.measure, cfg.dense_weight)
+            bc_e = spark.sparkContext.broadcast((a_ids, a_mat))
+            dense_udf = make_broadcast_dense_udf(cfg.measure, bc_s, bc_e)
+            p = p.withColumn(
+                "dense",
+                dense_udf(F.col("a"), F.concat_ws("\x00", F.col("b"), F.col("norm_b"))),
+            )
+            scored = score_pairs(p, cfg.measure, cfg.dense_weight, dense_col="dense")
+        else:
+            ea = s_embs.select(F.col("rid").alias("a"), F.col("emb").alias("emb_a"))
+            eb = F.broadcast(
+                alias_embs.select(
+                    F.col("rid").alias("b"), F.col("norm").alias("norm_b"), F.col("emb").alias("emb_b")
+                )
+            )
+            p = p.join(ea, "a").join(eb, ["b", "norm_b"])
+            scored = score_pairs(p, cfg.measure, cfg.dense_weight)
         # top-1 entity per surface, deterministic tie-break on entity id
         from pyspark.sql.window import Window
 
@@ -248,6 +321,22 @@ def link(
 
     pairs_mm = stage("pairs_mm", mm_pairs)
     pairs_me = stage("pairs_me", me_pairs)
+    if verbose and store is None:
+        # eager-pairs attribution (round-3 verdict item 7): the pairs
+        # frames are lazy, so without this the first action under a LATER
+        # stage pays for the whole scoring subtree and the [link] stage
+        # timings lie. Verbose mode persists + counts each pairs frame so
+        # the profile shows where time actually goes; edges below then
+        # read the caches. Non-verbose runs keep the single-materialization
+        # plan (the persisted edges frame).
+        pairs_mm = pairs_mm.persist()
+        _t0 = _time.monotonic()
+        n_mm = pairs_mm.count()
+        mark(f"pairs_mm materialize (n={n_mm})", _t0)
+        pairs_me = pairs_me.persist()
+        _t0 = _time.monotonic()
+        n_me = pairs_me.count()
+        mark(f"pairs_me materialize (n={n_me})", _t0)
     if store is not None:
         # score-distribution metrics per scoring stage (north_rule)
         store.record_histogram("pairs_mm", pairs_mm, "score")
@@ -264,17 +353,31 @@ def link(
         return mm.unionByName(me)
 
     edges = stage("edges", make_edges)
+    n_edges: int | None = None
     if store is None:
         # CC takes several actions over edges (size probe, collect/loop)
         # and the cluster projection re-reads them; without a persist the
         # whole pair-scoring DAG re-executes per action (measured: the
-        # clusters stage ran the blocking+scoring subtree ~3x)
+        # clusters stage ran the blocking+scoring subtree ~3x). The count
+        # here (a) materializes the cache EAGERLY so the scoring subtree
+        # is attributed to the edges stage, not wherever the first action
+        # lands (the round-3 highvocab profile blamed 94 s on "clusters"),
+        # and (b) doubles as the CC dispatch hint — connected_components
+        # skips its limit-probe job when the bound is under threshold.
         edges = edges.persist()
+        _t0 = _time.monotonic()
+        n_edges = edges.count()
+        mark(f"edges materialize (n={n_edges})", _t0)
 
     def cluster():
         # reliable checkpoints only in resumable (store) mode; localCheckpoint
         # truncates lineage identically for in-session runs
-        assignment = connected_components(edges, checkpoint=store is not None, verbose=verbose)
+        assignment = connected_components(
+            edges,
+            checkpoint=store is not None,
+            verbose=verbose,
+            n_edges_hint=n_edges,
+        )
         surf_assign = (
             surfaces.join(assignment.withColumnRenamed("member", "rid"), "rid", "left")
             .select("norm", F.coalesce("cluster_id", F.col("rid")).alias("cluster_id"))
@@ -307,6 +410,8 @@ def link(
     unpersist = [surfaces0, s_keyed, s_embs]
     if store is None:
         unpersist.append(edges)
+    if verbose and store is None:
+        unpersist.extend([pairs_mm, pairs_me])
     for df in unpersist:
         df.unpersist()
 

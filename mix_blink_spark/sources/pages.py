@@ -48,17 +48,31 @@ def with_extracted_text(pages: DataFrame) -> DataFrame:
     return pages.withColumn("extracted_text", extract_text(F.col("html")))
 
 
-def mentions_from_spans(pages: DataFrame, spans: DataFrame) -> DataFrame:
+def mentions_from_spans(
+    pages: DataFrame, spans: DataFrame, broadcast_spans: bool = False
+) -> DataFrame:
     """Join char-offset spans onto pages and slice surfaces (P7:
     ``mention = text[start:end]``, reference prediction/predict.py:39 —
     Spark substring is 1-based).
 
     Output: url, mention_id, start, end, surface, norm, block_key, context.
     The heavy ``html`` column is pruned here — only ``text`` flows on.
+
+    ``broadcast_spans=True`` broadcasts the (url, mention_id, start, end)
+    side so the pages side — carrying the multi-KB ``text`` column —
+    NEVER shuffles: the join runs map-side inside the extraction stage's
+    tasks. Round-3 profiling (bench_artifacts/sysbisect_r3.json) pinned
+    40% box sys-share on shuffling the heavy column at high concurrency;
+    span rows are ~60 bytes, so a corpus batch of millions of spans still
+    broadcasts in tens of MB. At 10^12-document scale, where even span
+    rows outgrow a broadcast, the scale path is co-partitioning/bucketing
+    both tables by url instead — the default (False) keeps the shuffled
+    sort-merge join Catalyst plans for that regime.
     """
-    m = spans.select("url", "mention_id", "start", "end").join(
-        pages.select("url", "text", "lang"), "url"
-    )
+    s = spans.select("url", "mention_id", "start", "end")
+    if broadcast_spans:
+        s = F.broadcast(s)
+    m = s.join(pages.select("url", "text", "lang"), "url")
     surface = F.expr("substring(text, start + 1, end - start)")
     ctx_lo = F.greatest(F.col("start") - F.lit(60), F.lit(0))
     context = F.expr("substring(text, greatest(start - 60, 0) + 1, (end - start) + 120)")

@@ -59,3 +59,53 @@ def test_cross_family_pairs_broadcast(spark):
     assert got == {("m1", "ENT::E1")}
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_cross_family_capped_equals_exact_on_small_blocks(spark):
+    """Below the cap the guarded path must produce the exact join's pairs."""
+    mentions = keyed_records(
+        _recs(spark, [("m1", "acme systems"), ("m2", "zeta corp"), ("m3", "acme robotics")]),
+        "rid",
+    )
+    ents = keyed_records(
+        _recs(spark, [("ENT::E1", "acme systems"), ("ENT::E2", "zeta corp")]), "rid"
+    )
+    exact = {
+        (p["a"], p["b"], p["norm_b"])
+        for p in cross_family_pairs(mentions, ents).collect()
+    }
+    capped = {
+        (p["a"], p["b"], p["norm_b"])
+        for p in cross_family_pairs(mentions, ents, max_block_size=50).collect()
+    }
+    assert capped == exact
+
+
+def test_cross_family_hot_key_is_bounded(spark):
+    """The round-3 collapse shape: one hot first token shared by many
+    surfaces AND many entity aliases. The guard must bound pair volume to
+    O(size*w) while still pairing every surface with its exact-match alias
+    (sort-adjacent)."""
+    n = 80
+    mentions = keyed_records(
+        _recs(spark, [(f"m{i:03d}", f"global name{i:03d}") for i in range(n)]), "rid"
+    )
+    ents = keyed_records(
+        _recs(spark, [(f"ENT::E{i:03d}", f"global name{i:03d}") for i in range(n)]), "rid"
+    )
+    w = 6
+    pairs = cross_family_pairs(mentions, ents, max_block_size=20, neighborhood=w)
+    rows = pairs.collect()
+    # every surface keeps its exact-match alias despite the cap
+    exact_hits = {(p["a"], p["b"]) for p in rows if p["norm_a"] == p["norm_b"]}
+    assert exact_hits == {(f"m{i:03d}", f"ENT::E{i:03d}") for i in range(n)}
+    # volume is neighborhood-bounded, not quadratic: every (key, surface)
+    # contributes at most 2w candidates, and no key joins the full product
+    from collections import Counter
+
+    per_a_key = Counter()
+    for p in rows:
+        per_a_key[p["a"]] += 1
+    assert max(per_a_key.values()) < 6 * 2 * w  # 6 key families x 2w
+    assert len(rows) < n * 6 * 2 * w
+    assert len(rows) < n * n  # and strictly below the exact product

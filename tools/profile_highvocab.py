@@ -27,7 +27,7 @@ def main() -> None:
     from mix_blink_spark.fixtures import distributed_corpus
     from mix_blink_spark.plans.pipeline import LinkConfig, link
 
-    pages_n, ents_n = 60000, 20000
+    pages_n, ents_n, wide = 60000, 20000, False
     args = sys.argv[1:]
     i = 0
     while i < len(args):
@@ -35,15 +35,18 @@ def main() -> None:
             pages_n = int(args[i + 1]); i += 2
         elif args[i] == "--entities":
             ents_n = int(args[i + 1]); i += 2
+        elif args[i] == "--wide":
+            wide = True; i += 1
         else:
             i += 1
 
     spark = bench._session(8)
     root = os.environ["SPARK_GRAFT_CORPUS_DIR"]
-    path = f"{root}-{pages_n}-{ents_n}"
+    path = f"{root}-{pages_n}-{ents_n}" + ("-wide" if wide else "")
     if not os.path.exists(os.path.join(path, "corpus", "_SUCCESS")):
         corpus, ents = distributed_corpus(
-            spark, pages_n, ents_n, seed=11, boiler_kb=bench.ER_BOILER_KB
+            spark, pages_n, ents_n, seed=11, boiler_kb=bench.ER_BOILER_KB,
+            wide_names=wide,
         )
         corpus.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
         ents.write.mode("overwrite").parquet(os.path.join(path, "entities"))
@@ -57,7 +60,7 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
-    out = link(spark, pages, spans, ents, LinkConfig(), verbose=True)
+    out = link(spark, pages, spans, ents, LinkConfig(broadcast_spans=True), verbose=True)
     clusters = out["clusters"].persist()
     n_members = clusters.count()
     total = time.monotonic() - t0
@@ -74,6 +77,7 @@ def main() -> None:
             {
                 "pages": pages_n,
                 "entities": ents_n,
+                "wide_names": wide,
                 "total_sec": round(total, 1),
                 "distinct_surfaces": n_surfaces,
                 "edges": n_edges,
