@@ -186,20 +186,35 @@ def _run_er(spark, n_pages: int = ER_PAGES, jvm_extract: bool = False) -> tuple[
     from mix_blink_spark.plans.pipeline import LinkConfig, link
 
     path = _corpus_path(n_pages)
-    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    corpus_p = os.path.join(path, "corpus")
+    corpus = spark.read.parquet(corpus_p)
     ents = spark.read.parquet(os.path.join(path, "entities"))
-    pages = corpus.select("url", "warc_ts", "html", "lang")
     spans = corpus.select("url", F.explode("mentions").alias("m")).select(
         "url", "m.mention_id", "m.start", "m.end"
     )
 
     # per-host data-path budget: this box's kernel path (page cache +
     # Arrow sockets) saturates at ~8-12 concurrent tasks regardless of
-    # advertised cores (bench_artifacts/*_r3.json), so cap the scan+
-    # extract stage there when the session offers more. local[<=12] legs
-    # are unaffected (cap only engages above the budget).
+    # advertised cores (bench_artifacts/*_r3.json). Above the budget,
+    # switch scan+extract to the PYTHON-DIRECT row-group reader
+    # (sources/pages.read_pages_extracted_python): html is decoded once in
+    # the Python worker and never crosses the JVM<->Python Arrow socket,
+    # halving the kernel data-path traffic the 32-thread legs choke on —
+    # measured at local[32] (interleaved, this host): pydirect@16 49-80 s
+    # vs standard io_slots=12 80-110 s per 240k-page leg, never worse.
+    # (The old io_slots=12 coalesce made 12 monolithic 20k-page tasks —
+    # straggler-bound on this box's intermittently-slow vCPUs.)
+    # local[<=12] legs keep the standard JVM-scan plan (measured parity).
     dp = spark.sparkContext.defaultParallelism
-    io_slots = 12 if dp > 12 else None
+    io_slots = None
+    if dp > 12 and not jvm_extract:
+        from mix_blink_spark.sources.pages import read_pages_extracted_python
+
+        pages = read_pages_extracted_python(
+            spark, corpus_p, columns=("url", "lang")
+        ).coalesce(16)
+    else:
+        pages = corpus.select("url", "warc_ts", "html", "lang")
     t0 = time.monotonic()
     # broadcast_spans: span rows are ~60 B (tens of MB even at bench
     # scale), so the heavy text column never crosses a shuffle — the

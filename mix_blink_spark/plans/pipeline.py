@@ -99,6 +99,13 @@ class LinkConfig:
     # shuffle+Arrow traffic. Above it, the join-the-vectors plan (scales
     # to any vocabulary) takes over. 500k rows x 64 float32 = 128 MB.
     broadcast_dense_limit: int = 500_000
+    # up to this many (surfaces + aliases), blocking + pair scoring run
+    # DRIVER-LOCAL (operators.localpairs — same semantics, parity-gated):
+    # the distributed pairs DAG is ~20 Spark stages of pure scheduling
+    # overhead at dimension scale (~13 s of a 62 s bench leg at 625
+    # surfaces — the fixed cost that capped N->4N efficiency). Encoding
+    # still runs as a Spark job; only blocking/scoring move. 0 disables.
+    driver_pairs_limit: int = 50_000
 
     def __post_init__(self) -> None:
         check_measure(self.measure)
@@ -234,22 +241,56 @@ def link(
     s_embs = _with_emb(surfaces.select("rid", "norm"), enc=cfg.encoder).persist()
     use_bc = n_surf <= cfg.broadcast_dense_limit
     bc_s = None
+    s_rows: list | None = None
+    s_mat = None
+    apdf = None
     if use_bc:
         import numpy as np
 
-        spdf = s_embs.select("rid", "emb").toPandas()
+        spdf = s_embs.select("rid", "norm", "emb").toPandas()
         s_ids = {r: i for i, r in enumerate(spdf["rid"])}
+        s_rows = list(zip(spdf["rid"], spdf["norm"]))
         s_mat = (
             np.stack(spdf["emb"].to_numpy()).astype(np.float32)
             if len(spdf)
             else np.zeros((0, 1), np.float32)
         )
         bc_s = spark.sparkContext.broadcast((s_ids, s_mat))
+        # alias dimension table: encoded as a Spark job (partitioned by
+        # the n_surf proxy — avoids a dedicated count job), results
+        # collected once for both the broadcast-dense and local paths
+        n_alias = ent_surfaces.select("rid", "norm").distinct()
+        p_ent = max(1, min(spark.sparkContext.defaultParallelism, n_surf // 2000 + 1))
+        apdf = (
+            _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder)
+            .select("rid", "norm", "emb")
+            .toPandas()
+        )
+        a_rows = list(zip(apdf["rid"], apdf["norm"]))
+        a_mat = (
+            np.stack(apdf["emb"].to_numpy()).astype(np.float32)
+            if len(apdf)
+            else np.zeros((0, 1), np.float32)
+        )
     else:
         s_embs.count()
-    mark("keys+embs materialize", _t0)
+    use_local = (
+        cfg.driver_pairs_limit > 0
+        and use_bc
+        and n_surf + len(apdf) <= cfg.driver_pairs_limit
+    )
+    mark(f"keys+embs materialize (local_pairs={use_local})", _t0)
+    _PAIRS_SCHEMA = "a string, b string, dense double, jw double, lev double, score double"
 
     def mm_pairs():
+        if use_local:
+            from ..operators.localpairs import local_mm_pairs
+
+            rows = local_mm_pairs(
+                s_rows, s_mat, cfg.measure, cfg.dense_weight,
+                cfg.max_block_size, cfg.neighborhood,
+            )
+            return spark.createDataFrame(rows, _PAIRS_SCHEMA)
         p = candidate_pairs(s_keyed, cfg.max_block_size, cfg.neighborhood)
         if use_bc:
             dense_udf = make_broadcast_dense_udf(cfg.measure, bc_s, bc_s)
@@ -268,31 +309,22 @@ def link(
         # fan-out multiplier that melts with a real transformer behind the
         # seam), then either collected into a broadcast matrix keyed by
         # (rid, norm) or broadcast-joined onto the pairs.
+        if use_local:
+            from ..operators.localpairs import local_me_pairs
+
+            rows = local_me_pairs(
+                s_rows, s_mat, a_rows, a_mat, cfg.measure, cfg.dense_weight,
+                cfg.tau_ent, cfg.me_max_block_size, cfg.neighborhood,
+            )
+            return spark.createDataFrame(rows, _PAIRS_SCHEMA)
         p = cross_family_pairs(
             s_keyed,
             e_keyed,
             max_block_size=cfg.me_max_block_size,
             neighborhood=cfg.neighborhood,
         )
-        n_alias = ent_surfaces.select("rid", "norm").distinct()
-        # same dimension-scale partitioning heuristic as `surfaces`: each
-        # Arrow UDF task has a ~0.25 s fixed cost, so tiny alias tables
-        # encode on one partition; large dictionaries keep parallelism
-        p_ent = max(1, min(spark.sparkContext.defaultParallelism, n_alias.count() // 2000 + 1))
-        alias_embs = _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder)
         if use_bc:
-            import numpy as np
-
-            apdf = alias_embs.select("rid", "norm", "emb").toPandas()
-            a_ids = {
-                f"{r}\x00{nm}": i
-                for i, (r, nm) in enumerate(zip(apdf["rid"], apdf["norm"]))
-            }
-            a_mat = (
-                np.stack(apdf["emb"].to_numpy()).astype(np.float32)
-                if len(apdf)
-                else np.zeros((0, 1), np.float32)
-            )
+            a_ids = {f"{r}\x00{nm}": i for i, (r, nm) in enumerate(a_rows)}
             bc_e = spark.sparkContext.broadcast((a_ids, a_mat))
             dense_udf = make_broadcast_dense_udf(cfg.measure, bc_s, bc_e)
             p = p.withColumn(
@@ -301,6 +333,14 @@ def link(
             )
             scored = score_pairs(p, cfg.measure, cfg.dense_weight, dense_col="dense")
         else:
+            n_alias = ent_surfaces.select("rid", "norm").distinct()
+            # dimension-scale partitioning heuristic: each Arrow UDF task
+            # has a ~0.25 s fixed cost, so tiny alias tables encode on one
+            # partition; large dictionaries keep parallelism
+            p_ent = max(
+                1, min(spark.sparkContext.defaultParallelism, n_alias.count() // 2000 + 1)
+            )
+            alias_embs = _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder)
             ea = s_embs.select(F.col("rid").alias("a"), F.col("emb").alias("emb_a"))
             eb = F.broadcast(
                 alias_embs.select(

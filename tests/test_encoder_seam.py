@@ -80,18 +80,22 @@ def test_mini_transformer_batch_contract():
     assert np.array_equal(mini_transformer_batch()(["acme corp"])[0], m[0])
 
 
-def test_mini_transformer_drives_pipeline(spark):
+@pytest.mark.parametrize("seed", [19, 31, 57])
+def test_mini_transformer_drives_pipeline(spark, seed):
     """E1/E2 production path EXECUTED end to end (round-3 verdict item 3):
     the full linkage pipeline runs with a real forward-pass encoder behind
     make_encoder_udf — same plan, swapped encoder — and still clusters the
     fixture corpus at F1 >= 0.99 (string scores + anchors carry exactness;
-    the dense path must at least not break it)."""
+    the dense path must at least not break it). Parametrized over THREE
+    fresh corpus seeds (round-3 verdict item 8): the calibrated taus must
+    hold on corpora the calibration never saw, i.e. they are an encoder
+    operating point, not a per-fixture overfit."""
     from mix_blink_spark.fixtures import corpus_dfs
     from mix_blink_spark.functions.embed import mini_transformer_batch
     from mix_blink_spark.operators.metrics import cluster_pairs, pairwise_prf
     from mix_blink_spark.plans.pipeline import LinkConfig, link
 
-    pages, ents, golds, labeled = corpus_dfs(spark, seed=19, n_pages=250, n_entities=25)
+    pages, ents, golds, labeled = corpus_dfs(spark, seed=seed, n_pages=250, n_entities=25)
     spans = golds.select("url", "mention_id", "start", "end")
     # taus are per-encoder calibration (as they are for any real encoder
     # swap): the untrained mini-transformer's cosine cone is tighter than

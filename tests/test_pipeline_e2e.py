@@ -106,3 +106,35 @@ def test_resume_skips_completed_stages(spark, e2e, tmp_path):
     assert {"pairs_mm", "pairs_me"} <= hstages
     total = hist.filter(F.col("stage") == "pairs_mm").agg(F.sum("rows")).first()[0]
     assert total == store.run("pairs_mm", lambda: None).count()
+
+
+def test_local_pairs_parity_with_distributed(spark, e2e):
+    """The driver-local pairs fast path (operators.localpairs, engaged at
+    dimension scale) must produce EXACTLY the distributed plan's pairs —
+    same (a, b) sets, bit-identical scores — and the same final clusters.
+    max_block_size/me cap are forced low so BOTH the all-pairs and the
+    sorted-neighborhood/insertion-window branches execute in each engine."""
+    pages, ents, golds, labeled = e2e
+    spans = golds.select("url", "mention_id", "start", "end")
+
+    def run(limit):
+        cfg = LinkConfig(max_block_size=12, me_max_block_size=30, neighborhood=4,
+                         driver_pairs_limit=limit)
+        out = link(spark, pages, spans, ents, cfg)
+        mm = {(r["a"], r["b"]): (r["dense"], r["jw"], r["lev"], r["score"])
+              for r in out["pairs_mm"].collect()}
+        me = {(r["a"], r["b"]): (r["dense"], r["jw"], r["lev"], r["score"])
+              for r in out["pairs_me"].collect()}
+        cl = {(r["member"], r["cluster_id"]) for r in out["clusters"].collect()}
+        return mm, me, cl
+
+    mm_l, me_l, cl_l = run(50_000)   # local path (dimension-scale corpus)
+    mm_d, me_d, cl_d = run(0)        # distributed path forced
+
+    assert set(mm_l) == set(mm_d)
+    assert set(me_l) == set(me_d)
+    for k in mm_l:
+        assert mm_l[k] == mm_d[k], (k, mm_l[k], mm_d[k])
+    for k in me_l:
+        assert me_l[k] == me_d[k], (k, me_l[k], me_d[k])
+    assert cl_l == cl_d
