@@ -189,9 +189,16 @@ def cross_family_pairs(
     string-similar norms are sort-adjacent — so the survivors are exactly
     the candidates that could clear ``tau_ent``, at O(size·w) instead of
     O(|L|·|R|). ``None`` (default) keeps the exact join everywhere."""
+    # distinct BEFORE sizing/joining: one dictionary entry can carry
+    # several alias surfaces that normalize to the SAME norm (name +
+    # lowercased alias is the common case) — duplicate (key, b, norm_b)
+    # rows would double-count block sizes and occupy window slots for a
+    # candidate that pair-dedup collapses anyway. The driver-local mirror
+    # (operators.localpairs) sizes blocks on deduped aliases; this keeps
+    # the small/big dispatch identical between the two engines.
     right = right_keyed.select(
         F.col("key"), F.col("rid").alias("b"), F.col("norm").alias("norm_b")
-    )
+    ).distinct()
     left = left_keyed.select(
         "key", F.col("rid").alias("a"), F.col("norm").alias("norm_a")
     )

@@ -103,9 +103,11 @@ class LinkConfig:
     # DRIVER-LOCAL (operators.localpairs — same semantics, parity-gated):
     # the distributed pairs DAG is ~20 Spark stages of pure scheduling
     # overhead at dimension scale (~13 s of a 62 s bench leg at 625
-    # surfaces — the fixed cost that capped N->4N efficiency). Encoding
-    # still runs as a Spark job; only blocking/scoring move. 0 disables.
-    driver_pairs_limit: int = 50_000
+    # surfaces — the fixed cost that capped N->4N efficiency). The local
+    # path is SINGLE-threaded, so the crossover is low: measured ~0.3 s
+    # at 1.6k rows (bench dictionary) but 133 s at 42k rows, where the
+    # 8-core distributed path needs ~22 s. 0 disables.
+    driver_pairs_limit: int = 4_000
 
     def __post_init__(self) -> None:
         check_measure(self.measure)
