@@ -66,11 +66,15 @@ class EntityIndexStore:
     # -- write path ----------------------------------------------------
     def commit(self, index_df: DataFrame, config: dict) -> int:
         """Write the index rows + config to the next version dir, then
-        advance the manifest. ``index_df`` must have (ord, id, emb)."""
+        advance the manifest. ``index_df`` must have (ord, id, emb); a
+        ``norm`` column (the alias surface the row was encoded from —
+        what ``plans.pipeline.link`` keys its broadcast matrix by) is
+        preserved when present."""
         m = self._meta()
         version = (m["version"] + 1) if m else 1
         vdir = self._vdir(version)
-        index_df.select("ord", "id", "emb").write.mode("overwrite").parquet(
+        cols = ["ord", "id", "emb"] + (["norm"] if "norm" in index_df.columns else [])
+        index_df.select(*cols).write.mode("overwrite").parquet(
             os.path.join(vdir, "index")
         )
         _write_json_atomic(os.path.join(vdir, "config.json"), config)

@@ -99,6 +99,16 @@ class LinkConfig:
     # shuffle+Arrow traffic. Above it, the join-the-vectors plan (scales
     # to any vocabulary) takes over. 500k rows x 64 float32 = 128 MB.
     broadcast_dense_limit: int = 500_000
+    # S8 integration: directory of an EntityIndexStore holding the
+    # pre-encoded alias index (ord, id, norm, emb). When set, link() LOADS
+    # the committed version instead of re-encoding the dictionary — the
+    # build-once/reuse contract of the reference's serialized retriever
+    # (reference retriever/dense.py:124-151) applied to the pipeline's
+    # alias side, which is the expensive encode with a real transformer
+    # behind the seam. A store with no committed version is populated on
+    # first run (dimension-scale path). Like StageStore, one store dir
+    # binds to one (dictionary, encoder) configuration.
+    alias_store: str | None = None
     # up to this many (surfaces + aliases), blocking + pair scoring run
     # DRIVER-LOCAL (operators.localpairs — same semantics, parity-gated):
     # the distributed pairs DAG is ~20 Spark stages of pure scheduling
@@ -258,22 +268,54 @@ def link(
             else np.zeros((0, 1), np.float32)
         )
         bc_s = spark.sparkContext.broadcast((s_ids, s_mat))
-        # alias dimension table: encoded as a Spark job (partitioned by
-        # the n_surf proxy — avoids a dedicated count job), results
-        # collected once for both the broadcast-dense and local paths
-        n_alias = ent_surfaces.select("rid", "norm").distinct()
-        p_ent = max(1, min(spark.sparkContext.defaultParallelism, n_surf // 2000 + 1))
-        apdf = (
-            _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder)
-            .select("rid", "norm", "emb")
-            .toPandas()
-        )
+        # alias dimension table: loaded from a committed EntityIndexStore
+        # when available (S8 reuse — no re-encode), else encoded as a
+        # Spark job (partitioned by the n_surf proxy — avoids a dedicated
+        # count job) and committed to the store if one was given. Results
+        # are collected once for both the broadcast-dense and local paths.
+        ai_store = None
+        if cfg.alias_store is not None:
+            from .index_store import EntityIndexStore
+
+            ai_store = EntityIndexStore(spark, cfg.alias_store)
+            idx = ai_store.index_df()
+            if idx is not None and "norm" in idx.columns:
+                apdf = (
+                    idx.orderBy("ord")
+                    .select(F.col("id").alias("rid"), "norm", "emb")
+                    .toPandas()
+                )
+        if apdf is None:
+            n_alias = ent_surfaces.select("rid", "norm").distinct()
+            p_ent = max(1, min(spark.sparkContext.defaultParallelism, n_surf // 2000 + 1))
+            apdf = (
+                _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder)
+                .select("rid", "norm", "emb")
+                .toPandas()
+            )
         a_rows = list(zip(apdf["rid"], apdf["norm"]))
         a_mat = (
             np.stack(apdf["emb"].to_numpy()).astype(np.float32)
             if len(apdf)
             else np.zeros((0, 1), np.float32)
         )
+        if ai_store is not None and ai_store.version() is None:
+            index_df = spark.createDataFrame(
+                [
+                    (i, a_rows[i][0], a_rows[i][1], [float(x) for x in a_mat[i]])
+                    for i in range(len(a_rows))
+                ],
+                "ord int, id string, norm string, emb array<float>",
+            )
+            ai_store.commit(
+                index_df,
+                {
+                    "encoder": "link-alias",
+                    "dim": int(a_mat.shape[1]),
+                    "n_rows": len(a_rows),
+                    "measure": cfg.measure,
+                },
+            )
     else:
         s_embs.count()
     use_local = (
@@ -335,14 +377,27 @@ def link(
             )
             scored = score_pairs(p, cfg.measure, cfg.dense_weight, dense_col="dense")
         else:
-            n_alias = ent_surfaces.select("rid", "norm").distinct()
-            # dimension-scale partitioning heuristic: each Arrow UDF task
-            # has a ~0.25 s fixed cost, so tiny alias tables encode on one
-            # partition; large dictionaries keep parallelism
-            p_ent = max(
-                1, min(spark.sparkContext.defaultParallelism, n_alias.count() // 2000 + 1)
-            )
-            alias_embs = _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder)
+            alias_embs = None
+            if cfg.alias_store is not None:
+                from .index_store import EntityIndexStore
+
+                idx = EntityIndexStore(spark, cfg.alias_store).index_df()
+                if idx is not None and "norm" in idx.columns:
+                    # vocabulary-scale reuse: the stored index stays a
+                    # distributed frame (load-only here; committing an
+                    # ordinal at this scale is the store builder's job)
+                    alias_embs = idx.select(F.col("id").alias("rid"), "norm", "emb")
+            if alias_embs is None:
+                n_alias = ent_surfaces.select("rid", "norm").distinct()
+                # dimension-scale partitioning heuristic: each Arrow UDF
+                # task has a ~0.25 s fixed cost, so tiny alias tables
+                # encode on one partition; large dictionaries keep
+                # parallelism
+                p_ent = max(
+                    1,
+                    min(spark.sparkContext.defaultParallelism, n_alias.count() // 2000 + 1),
+                )
+                alias_embs = _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder)
             ea = s_embs.select(F.col("rid").alias("a"), F.col("emb").alias("emb_a"))
             eb = F.broadcast(
                 alias_embs.select(

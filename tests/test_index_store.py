@@ -89,3 +89,42 @@ def test_versions_advance(spark, corpus, store_dir):
     assert store.commit(df, {"encoder": "trigram", "dim": mat.shape[1], "n_rows": len(ids)}) == 1
     assert store.commit(df, {"encoder": "trigram", "dim": mat.shape[1], "n_rows": len(ids)}) == 2
     assert store.version() == 2
+
+
+def test_link_alias_store_reuse(spark, corpus, tmp_path):
+    """S8 x pipeline: with LinkConfig.alias_store, the first link() run
+    commits the encoded alias index (v1) and later runs LOAD it instead
+    of re-encoding — proven by (a) the version not advancing across runs
+    with identical output, and (b) a run against a store committed with a
+    DIFFERENT dictionary visibly following the store, not the entities
+    argument."""
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.plans.pipeline import LinkConfig, link
+
+    ents, pages, golds = corpus["entities"], corpus["pages"], corpus["mentions_gold"]
+    spans = golds.select("url", "mention_id", "start", "end")
+    store_dir = str(tmp_path / "alias-index")
+
+    out1 = link(spark, pages, spans, ents, LinkConfig(alias_store=store_dir))
+    me1 = {(r["a"], r["b"]) for r in out1["pairs_me"].collect()}
+    store = EntityIndexStore(spark, store_dir)
+    assert store.version() == 1
+    assert "norm" in store.index_df().columns
+
+    out2 = link(spark, pages, spans, ents, LinkConfig(alias_store=store_dir))
+    me2 = {(r["a"], r["b"]) for r in out2["pairs_me"].collect()}
+    assert store.version() == 1  # loaded, not re-committed
+    assert me1 == me2
+
+    # a store committed from an EMPTY dictionary must yield zero anchors
+    # even though the entities argument still carries the full dictionary
+    empty_dir = str(tmp_path / "alias-empty")
+    empty = EntityIndexStore(spark, empty_dir)
+    empty.commit(
+        spark.createDataFrame([], "ord int, id string, norm string, emb array<float>"),
+        {"encoder": "link-alias", "dim": 0, "n_rows": 0},
+    )
+    out3 = link(spark, pages, spans, ents, LinkConfig(alias_store=empty_dir))
+    assert out3["pairs_me"].count() == 0
+    assert len(me1) > 0
