@@ -176,7 +176,12 @@ def cc_star_benchmark(
     return time.monotonic() - t0
 
 
-def _run_er(spark, n_pages: int = ER_PAGES, jvm_extract: bool = False) -> tuple[float, int]:
+def _run_er(
+    spark,
+    n_pages: int = ER_PAGES,
+    jvm_extract: bool = False,
+    pydirect: bool | None = None,
+) -> tuple[float, int]:
     """Returns (elapsed_sec, n_pages): the full linkage pipeline
     (html->text extraction, blocking, scoring, CC, cluster projection)
     over the pre-generated parquet corpus. Input read is inside the timed
@@ -204,15 +209,23 @@ def _run_er(spark, n_pages: int = ER_PAGES, jvm_extract: bool = False) -> tuple[
     # vs standard io_slots=12 80-110 s per 240k-page leg, never worse.
     # (The old io_slots=12 coalesce made 12 monolithic 20k-page tasks —
     # straggler-bound on this box's intermittently-slow vCPUs.)
-    # local[<=12] legs keep the standard JVM-scan plan (measured parity).
+    # local[<=12] legs default to the standard DataFrame scan — the plan
+    # the documented API (link over a pages table with html) gives every
+    # user; the separate pydirect probe pair records the fast-scan
+    # variant's own throughput + efficiency at (1,4) so neither plan's
+    # numbers are hidden (pydirect measured FASTER at every level —
+    # 210->120 s at 1 core — but it removes per-page serial JVM+socket
+    # overhead that parallelism was hiding, so its N->4N ratio is lower:
+    # classic Amdahl bookkeeping, documented in BASELINE.md).
     dp = spark.sparkContext.defaultParallelism
     io_slots = None
-    if dp > 12 and not jvm_extract:
+    use_pyd = (dp > 12) if pydirect is None else pydirect
+    if use_pyd and not jvm_extract:
         from mix_blink_spark.sources.pages import read_pages_extracted_python
 
-        pages = read_pages_extracted_python(
-            spark, corpus_p, columns=("url", "lang")
-        ).coalesce(16)
+        pages = read_pages_extracted_python(spark, corpus_p, columns=("url", "lang"))
+        if dp > 12:
+            pages = pages.coalesce(16)
     else:
         pages = corpus.select("url", "warc_ts", "html", "lang")
     t0 = time.monotonic()
@@ -341,13 +354,17 @@ def _warm_page_cache(path: str) -> None:
 def _probe_leg(cpus: int, pages: int = ER_PAGES, mode: str = "local") -> float:
     """One scaling-probe leg (runs inside its own subprocess): fresh
     session at `cpus`, small warm-up run (JIT/codegen/Python-worker
-    pools), page-cache warm, then the timed full-corpus run."""
+    pools), page-cache warm, then the timed full-corpus run.
+    mode 'local-pyd' forces the python-direct row-group scan."""
+    pyd = None
+    if mode == "local-pyd":
+        mode, pyd = "local", True
     spark = _session(cpus, mode)
     _prepare_corpus(spark, WARM_PAGES)
-    _run_er(spark, WARM_PAGES)
+    _run_er(spark, WARM_PAGES, pydirect=pyd)
     _prepare_corpus(spark, pages)
     _warm_page_cache(_corpus_path(pages))
-    sec, _ = _run_er(spark, pages)
+    sec, _ = _run_er(spark, pages, pydirect=pyd)
     spark.stop()
     return sec
 
@@ -413,6 +430,29 @@ def _scaling_evidence() -> dict[str, float | list]:
             3,
         ),
     }
+    # pydirect (1,4) pair: the python-direct row-group scan measured
+    # FASTER at every level than the default DataFrame scan (round 4:
+    # 210→120 s at 1 core, 56→44 s at 4) but with a LOWER N→4N ratio —
+    # it removes per-page serial JVM-decode + Arrow-socket overhead that
+    # parallelism was hiding, so less remains to parallelize away
+    # (Amdahl). Both plans' numbers go on the record; the gate keys above
+    # stay on the default path every API user gets.
+    if os.environ.get("SPARK_GRAFT_PYDIRECT_PROBES", "1") == "1":
+        pruns: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
+        for _ in range(2):
+            pruns[SCALE_HI].append(_probe(SCALE_HI, ER_PAGES, "local-pyd"))
+            pruns[SCALE_LO].append(_probe(SCALE_LO, ER_PAGES, "local-pyd"))
+        pmed = {n: statistics.median(v) for n, v in pruns.items()}
+        pthr = {n: ER_PAGES / pmed[n] for n in pmed}
+        out.update(
+            {
+                f"pydirect_docs_per_sec_{SCALE_LO}": round(pthr[SCALE_LO], 1),
+                f"pydirect_docs_per_sec_{SCALE_HI}": round(pthr[SCALE_HI], 1),
+                "pydirect_scaling_efficiency": round(
+                    (pthr[SCALE_HI] / pthr[SCALE_LO]) / (SCALE_HI / SCALE_LO), 3
+                ),
+            }
+        )
     # mandated 8/32 pair: recorded unconditionally, on the SAME corpus as
     # the primary pair (ADVICE r2), in BOTH execution shapes:
     #   - single-JVM local[8]/local[32] (the literal mandated levels) —
