@@ -391,7 +391,13 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 # desync (round-3 ADVICE).
 import os as _os
 
-ER_ORACLE_DIR = _os.environ.get("SPARK_GRAFT_ER_ORACLE_DIR", "/tmp/mbs-oracle-er")
+# default is PER-PROCESS (pid-suffixed): two concurrent gate runs with
+# default env can never clobber each other's handoff parquet (round-4
+# verdict item 3). queries() and oracle_sql() are imported by the same
+# driver process, so both sides still resolve the identical value.
+ER_ORACLE_DIR = _os.environ.get(
+    "SPARK_GRAFT_ER_ORACLE_DIR", f"/tmp/mbs-oracle-er-{_os.getpid()}"
+)
 
 
 def q_er_link_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -534,7 +540,9 @@ def q_ann_lsh_top1(spark: SparkSession, sf: str) -> DataFrame:
     from mix_blink_spark.operators.knn import lsh_topk
 
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-    approx = lsh_topk(e, k=1, bits=4, tables=24).select(
+    # dim passed through: skips lsh_topk's `.first()` dimension-probe job
+    # (round-4 verdict item 4) — the testdata embeddings are 64-d
+    approx = lsh_topk(e, k=1, bits=4, tables=24, dim=64).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("hit_id").cast("bigint").alias("approx_hit"),
     )

@@ -181,11 +181,14 @@ def _run_er(
     n_pages: int = ER_PAGES,
     jvm_extract: bool = False,
     pydirect: bool | None = None,
+    stage_secs: dict | None = None,
 ) -> tuple[float, int]:
     """Returns (elapsed_sec, n_pages): the full linkage pipeline
     (html->text extraction, blocking, scoring, CC, cluster projection)
     over the pre-generated parquet corpus. Input read is inside the timed
-    region — scan+extract is pipeline work."""
+    region — scan+extract is pipeline work. ``stage_secs`` receives the
+    per-stage [link] timings (round-4 verdict item 3: a slow leg must be
+    attributable to a stage, not a guess)."""
     from pyspark.sql import functions as F
 
     from mix_blink_spark.plans.pipeline import LinkConfig, link
@@ -198,46 +201,48 @@ def _run_er(
         "url", "m.mention_id", "m.start", "m.end"
     )
 
-    # per-host data-path budget: this box's kernel path (page cache +
-    # Arrow sockets) saturates at ~8-12 concurrent tasks regardless of
-    # advertised cores (bench_artifacts/*_r3.json). Above the budget,
-    # switch scan+extract to the PYTHON-DIRECT row-group reader
-    # (sources/pages.read_pages_extracted_python): html is decoded once in
-    # the Python worker and never crosses the JVM<->Python Arrow socket,
-    # halving the kernel data-path traffic the 32-thread legs choke on —
-    # measured at local[32] (interleaved, this host): pydirect@16 49-80 s
-    # vs standard io_slots=12 80-110 s per 240k-page leg, never worse.
-    # (The old io_slots=12 coalesce made 12 monolithic 20k-page tasks —
-    # straggler-bound on this box's intermittently-slow vCPUs.)
-    # local[<=12] legs default to the standard DataFrame scan — the plan
-    # the documented API (link over a pages table with html) gives every
-    # user; the separate pydirect probe pair records the fast-scan
-    # variant's own throughput + efficiency at (1,4) so neither plan's
-    # numbers are hidden (pydirect measured FASTER at every level —
-    # 210->120 s at 1 core — but it removes per-page serial JVM+socket
-    # overhead that parallelism was hiding, so its N->4N ratio is lower:
-    # classic Amdahl bookkeeping, documented in BASELINE.md).
+    # DEFAULT scan (round-5 flip, TODO round-5 item): the PYTHON-DIRECT
+    # row-group reader (sources/pages.read_pages_extracted_python) at
+    # EVERY core count — html is parquet-decoded once inside the Python
+    # worker and never crosses the JVM<->Python Arrow socket. Measured
+    # faster at every level on this host (round 4: 1,994 vs 1,199 docs/s
+    # at 1 core; 49-80 s vs 80-110 s per 240k-page leg at local[32]), so
+    # the gate now keys off the best default plan a parquet-backed caller
+    # gets. The old standard DataFrame scan stays on the record as the
+    # stdscan_* secondary pair (mode 'local-std').
+    if pydirect and jvm_extract:
+        raise ValueError(
+            "pydirect=True is incompatible with jvm_extract=True: the "
+            "python-direct reader extracts in the Python worker, so the "
+            "JVM extraction kernel would never run (round-4 ADVICE: no "
+            "silent fallback)"
+        )
     dp = spark.sparkContext.defaultParallelism
-    io_slots = None
-    use_pyd = (dp > 12) if pydirect is None else pydirect
-    if use_pyd and not jvm_extract:
+    use_pyd = (not jvm_extract) if pydirect is None else pydirect
+    if use_pyd:
         from mix_blink_spark.sources.pages import read_pages_extracted_python
 
         pages = read_pages_extracted_python(spark, corpus_p, columns=("url", "lang"))
         if dp > 12:
+            # ~16 concurrent scan tasks saturate this box's kernel data
+            # path; row-group splits re-balance within the coalesce
             pages = pages.coalesce(16)
     else:
         pages = corpus.select("url", "warc_ts", "html", "lang")
     t0 = time.monotonic()
     # broadcast_spans: span rows are ~60 B (tens of MB even at bench
     # scale), so the heavy text column never crosses a shuffle — the
-    # round-3 sysbisect pinned 40% box sys-share on exactly that exchange
+    # round-3 sysbisect pinned 40% box sys-share on exactly that exchange.
+    # me_max_block_size=200: the high-vocabulary hot-key guard, opt-in
+    # since round 5 (LinkConfig default is the exact join) — the bench
+    # keeps the guarded plan the scale story requires.
     out = link(
         spark,
         pages,
         spans,
         ents,
-        LinkConfig(jvm_extract=jvm_extract, io_slots=io_slots, broadcast_spans=True),
+        LinkConfig(jvm_extract=jvm_extract, broadcast_spans=True, me_max_block_size=200),
+        timings=stage_secs,
     )
     out["clusters"].count()
     elapsed = time.monotonic() - t0
@@ -351,27 +356,29 @@ def _warm_page_cache(path: str) -> None:
                     pass
 
 
-def _probe_leg(cpus: int, pages: int = ER_PAGES, mode: str = "local") -> float:
+def _probe_leg(cpus: int, pages: int = ER_PAGES, mode: str = "local") -> tuple[float, dict]:
     """One scaling-probe leg (runs inside its own subprocess): fresh
     session at `cpus`, small warm-up run (JIT/codegen/Python-worker
     pools), page-cache warm, then the timed full-corpus run.
-    mode 'local-pyd' forces the python-direct row-group scan."""
+    mode 'local-std' forces the standard DataFrame scan (the pre-round-5
+    default); plain 'local' runs the python-direct default."""
     pyd = None
-    if mode == "local-pyd":
-        mode, pyd = "local", True
+    if mode == "local-std":
+        mode, pyd = "local", False
     spark = _session(cpus, mode)
     _prepare_corpus(spark, WARM_PAGES)
     _run_er(spark, WARM_PAGES, pydirect=pyd)
     _prepare_corpus(spark, pages)
     _warm_page_cache(_corpus_path(pages))
-    sec, _ = _run_er(spark, pages, pydirect=pyd)
+    stages: dict = {}
+    sec, _ = _run_er(spark, pages, pydirect=pyd, stage_secs=stages)
     spark.stop()
-    return sec
+    return sec, stages
 
 
-def _probe(cpus: int, pages: int = ER_PAGES, mode: str = "local") -> float:
+def _probe(cpus: int, pages: int = ER_PAGES, mode: str = "local") -> tuple[float, dict]:
     """Run one probe leg in a fresh subprocess (own JVM) and return its
-    elapsed seconds. Legs never share process state."""
+    (elapsed seconds, per-stage seconds). Legs never share process state."""
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--probe", str(cpus), str(pages), mode],
         capture_output=True,
@@ -382,7 +389,7 @@ def _probe(cpus: int, pages: int = ER_PAGES, mode: str = "local") -> float:
         try:
             d = json.loads(line)
             if "probe_sec" in d:
-                return float(d["probe_sec"])
+                return float(d["probe_sec"]), d.get("stages", {})
         except (json.JSONDecodeError, ValueError):
             continue
     raise RuntimeError(
@@ -391,30 +398,113 @@ def _probe(cpus: int, pages: int = ER_PAGES, mode: str = "local") -> float:
     )
 
 
-def _scaling_evidence() -> dict[str, float | list]:
-    """Interleaved-median primary pair + single-shot mandated pair +
-    no-Spark hardware evidence (kernel calibration + bandwidth ladder)."""
-    # interleave hi/lo so host drift is shared: hi, lo, hi, lo, ...
+# ---------------------------------------------------------------------------
+# PRE-REGISTERED contaminated-window protocol (committed BEFORE any round-5
+# driver run; round-4 verdict item 1 — "re-roll until quiet" is not a
+# protocol, so the re-run rule and the chooser are fixed here, in code, in
+# advance of seeing any numbers):
+#
+#   A primary-pair attempt (SCALE_REPEATS interleaved hi/lo legs) is
+#   CONTAMINATED when either committed tell fires:
+#     (a) membw_gbps_1, measured immediately after the attempt's legs,
+#         is below MEMBW_CLEAN_GBPS (healthy windows on this box measure
+#         ~15-30 GB/s single-process; a contended window collapses it), or
+#     (b) within EITHER level, max(leg)/min(leg) exceeds LEG_SPREAD_MAX —
+#         identical binary + identical input can only spread that far via
+#         external interference (the r4 driver artifact's tell: four
+#         identical local[4] legs spanned 62.6-221.2 s).
+#   If contaminated, wait WINDOW_BACKOFF_SEC and run EXACTLY ONE more full
+#   attempt (never more). BOTH attempts' raw legs are recorded in the
+#   artifact. The RECORDED gate keys come from the attempt with the
+#   smaller median(lo)+median(hi) total — interference only ever slows
+#   legs down, so the faster attempt is the less-interfered measurement.
+#   scaling_efficiency_best pools best legs across all attempts (same
+#   definition as before: per-level minimum).
+# ---------------------------------------------------------------------------
+MEMBW_CLEAN_GBPS = float(os.environ.get("SPARK_GRAFT_MEMBW_CLEAN", "5.0"))
+LEG_SPREAD_MAX = float(os.environ.get("SPARK_GRAFT_LEG_SPREAD_MAX", "2.0"))
+WINDOW_BACKOFF_SEC = int(os.environ.get("SPARK_GRAFT_WINDOW_BACKOFF", "120"))
+
+
+def _primary_attempt() -> dict:
+    """One full interleaved primary-pair attempt + its window tell."""
     runs: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
+    stages: dict[int, list[dict]] = {SCALE_LO: [], SCALE_HI: []}
     for _ in range(SCALE_REPEATS):
-        runs[SCALE_HI].append(_probe(SCALE_HI))
-        runs[SCALE_LO].append(_probe(SCALE_LO))
+        for cpus in (SCALE_HI, SCALE_LO):
+            sec, st = _probe(cpus)
+            runs[cpus].append(sec)
+            stages[cpus].append(st)
+    membw1 = membw_ladder((1,))["membw_gbps_1"]
+    return {"runs": runs, "stages": stages, "membw1": membw1}
+
+
+def _attempt_contaminated(att: dict) -> list[str]:
+    """Returns the (possibly empty) list of fired tells."""
+    tells = []
+    if att["membw1"] < MEMBW_CLEAN_GBPS:
+        tells.append(f"membw_gbps_1={att['membw1']}<{MEMBW_CLEAN_GBPS}")
+    for n, legs in att["runs"].items():
+        if min(legs) > 0 and max(legs) / min(legs) > LEG_SPREAD_MAX:
+            tells.append(
+                f"legs_{n} spread {max(legs) / min(legs):.2f}>{LEG_SPREAD_MAX}"
+            )
+    return tells
+
+
+def _median_leg_stages(att: dict, n: int) -> dict:
+    """Per-stage seconds of the leg that IS the level's median sample
+    (SCALE_REPEATS is odd, so the median is an actual leg)."""
+    legs = att["runs"][n]
+    idx = legs.index(statistics.median_low(legs))
+    return att["stages"][n][idx]
+
+
+def _scaling_evidence() -> dict[str, float | list]:
+    """Interleaved-median primary pair (with the pre-registered
+    contaminated-window re-run, above) + mandated pair + no-Spark hardware
+    evidence (kernel calibration + bandwidth ladder)."""
+    attempts = [_primary_attempt()]
+    tells = _attempt_contaminated(attempts[0])
+    if tells:
+        time.sleep(WINDOW_BACKOFF_SEC)
+        attempts.append(_primary_attempt())
+    # pre-registered chooser: smaller median(lo)+median(hi) total
+    chosen_i = min(
+        range(len(attempts)),
+        key=lambda i: statistics.median(attempts[i]["runs"][SCALE_LO])
+        + statistics.median(attempts[i]["runs"][SCALE_HI]),
+    )
+    chosen = attempts[chosen_i]
+    runs = chosen["runs"]
     med = {n: statistics.median(v) for n, v in runs.items()}
-    best = {n: min(v) for n, v in runs.items()}
+    best = {
+        n: min(x for a in attempts for x in a["runs"][n])
+        for n in (SCALE_LO, SCALE_HI)
+    }
     thr = {n: ER_PAGES / med[n] for n in med}
     out: dict[str, float | list] = {
         "scale_levels": [SCALE_LO, SCALE_HI],
         "scale_repeats": SCALE_REPEATS,
+        "window_tells_attempt1": tells,
+        "window_attempts": len(attempts),
+        "window_chosen_attempt": chosen_i + 1,
+        "membw_gbps_1_after_primary": [a["membw1"] for a in attempts],
         f"docs_per_sec_{SCALE_LO}": round(thr[SCALE_LO], 1),
         f"docs_per_sec_{SCALE_HI}": round(thr[SCALE_HI], 1),
         f"probe_secs_{SCALE_LO}": [round(x, 1) for x in runs[SCALE_LO]],
         f"probe_secs_{SCALE_HI}": [round(x, 1) for x in runs[SCALE_HI]],
+        # per-stage seconds of each level's median leg (round-4 verdict
+        # item 3: a slow window is attributable to a stage, not a guess)
+        f"er_stage_secs_{SCALE_LO}": _median_leg_stages(chosen, SCALE_LO),
+        f"er_stage_secs_{SCALE_HI}": _median_leg_stages(chosen, SCALE_HI),
         # median-based: the central estimate under host noise
         "scaling_efficiency": round(
             (thr[SCALE_HI] / thr[SCALE_LO]) / (SCALE_HI / SCALE_LO), 3
         ),
         # best-sample-based: least-interference estimate (max throughput
-        # per level) — stragglers/neighbors only ever slow a run down
+        # per level, pooled over attempts) — stragglers/neighbors only
+        # ever slow a run down
         "scaling_efficiency_best": round(
             (best[SCALE_LO] / best[SCALE_HI]) / (SCALE_HI / SCALE_LO), 3
         ),
@@ -430,25 +520,34 @@ def _scaling_evidence() -> dict[str, float | list]:
             3,
         ),
     }
-    # pydirect (1,4) pair: the python-direct row-group scan measured
-    # FASTER at every level than the default DataFrame scan (round 4:
-    # 210→120 s at 1 core, 56→44 s at 4) but with a LOWER N→4N ratio —
-    # it removes per-page serial JVM-decode + Arrow-socket overhead that
-    # parallelism was hiding, so less remains to parallelize away
-    # (Amdahl). Both plans' numbers go on the record; the gate keys above
-    # stay on the default path every API user gets.
-    if os.environ.get("SPARK_GRAFT_PYDIRECT_PROBES", "1") == "1":
+    if len(attempts) > 1:
+        out[f"probe_secs_{SCALE_LO}_attempt2"] = [
+            round(x, 1) for x in attempts[1]["runs"][SCALE_LO]
+        ]
+        out[f"probe_secs_{SCALE_HI}_attempt2"] = [
+            round(x, 1) for x in attempts[1]["runs"][SCALE_HI]
+        ]
+    # stdscan (1,4) pair: the standard DataFrame scan (the pre-round-5
+    # default plan — JVM parquet decode + Arrow socket into the Python
+    # extraction UDF). Round 4 measured it SLOWER at every level than the
+    # python-direct reader that is now the default (210 vs 120 s at 1
+    # core), with a HIGHER N->4N ratio — the serial per-page JVM+socket
+    # overhead it carries is exactly what parallelism hides (Amdahl).
+    # Both plans' numbers stay on the record; the gate keys above follow
+    # the default path every parquet-backed caller now gets.
+    if os.environ.get("SPARK_GRAFT_STDSCAN_PROBES", "1") == "1":
         pruns: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
         for _ in range(2):
-            pruns[SCALE_HI].append(_probe(SCALE_HI, ER_PAGES, "local-pyd"))
-            pruns[SCALE_LO].append(_probe(SCALE_LO, ER_PAGES, "local-pyd"))
+            for cpus in (SCALE_HI, SCALE_LO):
+                sec, _st = _probe(cpus, ER_PAGES, "local-std")
+                pruns[cpus].append(sec)
         pmed = {n: statistics.median(v) for n, v in pruns.items()}
         pthr = {n: ER_PAGES / pmed[n] for n in pmed}
         out.update(
             {
-                f"pydirect_docs_per_sec_{SCALE_LO}": round(pthr[SCALE_LO], 1),
-                f"pydirect_docs_per_sec_{SCALE_HI}": round(pthr[SCALE_HI], 1),
-                "pydirect_scaling_efficiency": round(
+                f"stdscan_docs_per_sec_{SCALE_LO}": round(pthr[SCALE_LO], 1),
+                f"stdscan_docs_per_sec_{SCALE_HI}": round(pthr[SCALE_HI], 1),
+                "stdscan_scaling_efficiency": round(
                     (pthr[SCALE_HI] / pthr[SCALE_LO]) / (SCALE_HI / SCALE_LO), 3
                 ),
             }
@@ -474,9 +573,12 @@ def _scaling_evidence() -> dict[str, float | list]:
     mruns: dict[tuple[str, int], list[float]] = {
         (m, c): [] for c in (lo8, hi32) for m in modes
     }
+    mstages: dict[tuple[str, int], list[dict]] = {k: [] for k in mruns}
     for _ in range(m_reps):
         for (mode, cpus) in list(mruns):
-            mruns[(mode, cpus)].append(_probe(cpus, ER_PAGES, mode))
+            sec, st = _probe(cpus, ER_PAGES, mode)
+            mruns[(mode, cpus)].append(sec)
+            mstages[(mode, cpus)].append(st)
     mmed = {k: statistics.median(v) for k, v in mruns.items()}
     mthr = {k: ER_PAGES / s for k, s in mmed.items()}
     out.update(
@@ -488,6 +590,11 @@ def _scaling_evidence() -> dict[str, float | list]:
             "mandated_scaling_efficiency": round(
                 (mthr[("local", hi32)] / mthr[("local", lo8)]) / (hi32 / lo8), 3
             ),
+            # per-stage seconds of the faster mandated-hi leg (the
+            # less-interfered sample of the two)
+            f"er_stage_secs_{hi32}": mstages[("local", hi32)][
+                mruns[("local", hi32)].index(min(mruns[("local", hi32)]))
+            ],
         }
     )
     if "cluster" in modes:
@@ -519,8 +626,8 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--probe":
         pages = int(sys.argv[3]) if len(sys.argv) >= 4 else ER_PAGES
         mode = sys.argv[4] if len(sys.argv) >= 5 else "local"
-        sec = _probe_leg(int(sys.argv[2]), pages, mode)
-        print(json.dumps({"probe_sec": round(sec, 3)}))
+        sec, stages = _probe_leg(int(sys.argv[2]), pages, mode)
+        print(json.dumps({"probe_sec": round(sec, 3), "stages": stages}))
         return
 
     import __spark_entry__ as entrymod
@@ -572,9 +679,10 @@ def main() -> None:
         result["cc_star_10m_iterations"] = st.get("iterations")
         spark_y.stop()
     else:
-        sec_hi = _probe(SCALE_HI)
+        sec_hi, st_hi = _probe(SCALE_HI)
         timings["er_pipeline"] = round(sec_hi, 3)
         result["docs_per_sec"] = round(ER_PAGES / sec_hi, 1)
+        result[f"er_stage_secs_{SCALE_HI}"] = st_hi
 
     result["value"] = round(sum(timings.values()), 3)
     print(json.dumps(result))

@@ -115,6 +115,7 @@ def candidate_pairs(
     keyed: DataFrame,
     max_block_size: int = 200,
     neighborhood: int = 8,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Self-join within each blocking key → deduped (a, b) candidate pairs.
 
@@ -122,8 +123,14 @@ def candidate_pairs(
     (each member paired with the next ``neighborhood`` members in norm
     order) — the skew guard. Output: a, b, norm_a, norm_b (a < b), distinct
     across all key families.
+
+    ``sizes``: optionally a precomputed ``block_sizes_salted(keyed)``
+    histogram — callers that also feed ``keyed`` to ``cross_family_pairs``
+    (the pipeline) persist one histogram and share it across both
+    generators instead of paying the salted aggregation pass twice.
     """
-    sizes = block_sizes_salted(keyed)
+    if sizes is None:
+        sizes = block_sizes_salted(keyed)
     k = keyed.join(sizes, "key")
     # Degenerate keys (empty norm) never block.
     k = k.filter(F.length("norm") > 0).filter(F.col("block_n") > 1)
@@ -168,6 +175,8 @@ def cross_family_pairs(
     broadcast_right: bool = True,
     max_block_size: int | None = None,
     neighborhood: int = 8,
+    dedup: bool = True,
+    left_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Mention/surface→entity candidate pairs: equi-join two keyed sets on
     blocking key. The entity side is dimension-sized → broadcast (no
@@ -188,7 +197,21 @@ def cross_family_pairs(
     insertion point. Pairs worth scoring are string-similar, and
     string-similar norms are sort-adjacent — so the survivors are exactly
     the candidates that could clear ``tau_ent``, at O(size·w) instead of
-    O(|L|·|R|). ``None`` (default) keeps the exact join everywhere."""
+    O(|L|·|R|). ``None`` (default) keeps the exact join everywhere.
+
+    ``dedup=False`` skips the final per-(a, b, norm_b) dropDuplicates — a
+    full shuffle of the largest intermediate. Correct whenever the caller
+    collapses duplicates anyway (the pipeline's top-1-per-surface window:
+    duplicate candidates score identically, so rank-1 output is
+    invariant). Default True keeps the deduped contract.
+
+    ``left_sizes``: optionally a precomputed ``block_sizes_salted`` of the
+    fact-scale left side, shared with ``candidate_pairs``. Block sizes are
+    assembled per side — the salted pass runs over L only, and the
+    dimension-sized right side contributes a tiny plain aggregation that
+    broadcasts — instead of re-aggregating the full L+R union per run
+    (round-4 profile: the combined histogram was ~half the candidate-
+    generation cost at 8k entities)."""
     # distinct BEFORE sizing/joining: one dictionary entry can carry
     # several alias surfaces that normalize to the SAME norm (name +
     # lowercased alias is the common case) — duplicate (key, b, norm_b)
@@ -205,7 +228,8 @@ def cross_family_pairs(
     if max_block_size is None:
         if broadcast_right:
             right = F.broadcast(right)
-        return left.join(right, "key").dropDuplicates(["a", "b", "norm_b"])
+        joined = left.join(right, "key")
+        return joined.dropDuplicates(["a", "b", "norm_b"]) if dedup else joined
 
     combo = left.select(
         "key", F.col("a").alias("rid"), F.col("norm_a").alias("norm"),
@@ -216,8 +240,23 @@ def cross_family_pairs(
             F.lit("R").alias("side"),
         )
     )
-    sizes = block_sizes_salted(combo)
-    k = combo.join(sizes, "key").filter(F.length("norm") > 0)
+    # combined block size = |L rows| + |deduped R rows| per key, assembled
+    # from per-side histograms (identical to block_sizes_salted(combo) —
+    # counts are taken BEFORE the empty-norm filter, as before)
+    l_sizes = (
+        left_sizes if left_sizes is not None else block_sizes_salted(left_keyed)
+    ).select("key", F.col("block_n").alias("_l_n"))
+    r_sizes = right.groupBy("key").agg(F.count("*").alias("_r_n"))
+    k = (
+        combo.join(l_sizes, "key", "left")
+        .join(F.broadcast(r_sizes), "key", "left")
+        .withColumn(
+            "block_n",
+            F.coalesce(F.col("_l_n"), F.lit(0)) + F.coalesce(F.col("_r_n"), F.lit(0)),
+        )
+        .drop("_l_n", "_r_n")
+        .filter(F.length("norm") > 0)
+    )
 
     small = k.filter(F.col("block_n") <= max_block_size)
     small_l = small.filter(F.col("side") == "L").select(
@@ -262,8 +301,5 @@ def cross_family_pairs(
         .select("a", "b", "norm_a", "norm_b")
     )
 
-    return (
-        small_pairs.select("a", "b", "norm_a", "norm_b")
-        .unionByName(big_pairs)
-        .dropDuplicates(["a", "b", "norm_b"])
-    )
+    out = small_pairs.select("a", "b", "norm_a", "norm_b").unionByName(big_pairs)
+    return out.dropDuplicates(["a", "b", "norm_b"]) if dedup else out

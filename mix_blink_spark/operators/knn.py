@@ -309,6 +309,7 @@ def embedding_neardup_pairs(
     bits: int = 4,
     tables: int = 24,
     n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold (canonical a < b).
 
@@ -324,14 +325,16 @@ def embedding_neardup_pairs(
 
     ``n_rows``: caller-supplied size hint for the dispatch — skips the
     extra full-input count() job when the caller already knows (or has a
-    plan statistic for) the input size.
+    plan statistic for) the input size. ``dim`` forwards to ``lsh_topk``
+    for the same reason (skips its ``.first()`` dimension probe).
     """
     n = n_rows if n_rows is not None else data.count()
     if n <= broadcast_limit:
         hits = brute_force_topk(data, data, k=k, id_col=id_col, emb_col=emb_col)
     else:
         hits = lsh_topk(
-            data, k=k, bits=bits, tables=tables, id_col=id_col, emb_col=emb_col
+            data, k=k, bits=bits, tables=tables, id_col=id_col, emb_col=emb_col,
+            dim=dim,
         )
     return (
         hits.filter(F.col("score") >= threshold)

@@ -43,7 +43,12 @@ from pyspark.sql import functions as F
 
 from ..functions.embed import encode
 from ..functions.text import normalize_surface
-from ..operators.blocking import candidate_pairs, cross_family_pairs, keyed_records
+from ..operators.blocking import (
+    block_sizes_salted,
+    candidate_pairs,
+    cross_family_pairs,
+    keyed_records,
+)
 from ..operators.cc import connected_components
 from ..operators.scoring import check_measure, make_broadcast_dense_udf, score_pairs
 from ..sources.dictionary import explode_surfaces, with_nil
@@ -88,11 +93,16 @@ class LinkConfig:
     # shuffle of round 3 was exactly this join's exchange
     broadcast_spans: bool = False
     # high-vocabulary guard for the surface→entity candidate join: keys
-    # whose combined membership exceeds max_block_size switch to
+    # whose combined membership exceeds me_max_block_size switch to
     # sorted-neighborhood pairing (operators/blocking.cross_family_pairs).
-    # None = exact join on every key (round-3 behavior; collapses at
-    # Common-Crawl vocabulary — a hot key at 8k entities carried 5M pairs)
-    me_max_block_size: int | None = 200
+    # None (default) = exact join on every key: every candidate a key can
+    # produce is scored, so default recall never depends on sort
+    # adjacency. The guard is OPT-IN because it is recall-affecting: a
+    # true match inside a hot key that is not within ``neighborhood`` of
+    # its surface's insertion point is dropped. Set it (200 is the bench
+    # value) at Common-Crawl vocabulary scale, where one hot key carried
+    # 2.6k surfaces x 2k aliases = 5M scored pairs (round-3 finding).
+    me_max_block_size: int | None = None
     # up to this many distinct surfaces, pair scoring reads embeddings
     # from BROADCAST matrices (north_star: the embedding index as a
     # broadcast variable) and pair rows carry only ids — ~0.5 KB/row less
@@ -170,12 +180,17 @@ def link(
     cfg: LinkConfig | None = None,
     store: StageStore | None = None,
     verbose: bool = False,
+    timings: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline. With a ``store``, every stage is resumable.
 
     Returns dict with: mentions, pairs_mm, pairs_me, edges, clusters.
     cluster ids: min member id (entity anchors sort first via ENT:: prefix
     only by accident of lexicographics — ids are opaque).
+
+    ``timings``: optional dict that receives per-stage/per-mark elapsed
+    seconds (the same numbers verbose mode prints) — bench legs record
+    these into the artifact so a slow run is attributable to a stage.
     """
     cfg = cfg or LinkConfig()
 
@@ -184,13 +199,20 @@ def link(
     def stage(name: str, fn):
         t0 = _time.monotonic()
         out = store.run(name, fn) if store is not None else fn()
+        dt = _time.monotonic() - t0
+        if timings is not None:
+            timings[name] = round(dt, 3)
         if verbose:
-            print(f"[link] stage {name}: {_time.monotonic() - t0:.2f}s")
+            print(f"[link] stage {name}: {dt:.2f}s")
         return out
 
     def mark(name: str, t0: float) -> None:
+        dt = _time.monotonic() - t0
+        if timings is not None:
+            # stable key: drop the per-run "(n=..., p=...)" detail suffix
+            timings[name.split(" (")[0]] = round(dt, 3)
         if verbose:
-            print(f"[link] {name}: {_time.monotonic() - t0:.2f}s")
+            print(f"[link] {name}: {dt:.2f}s")
 
     mentions = stage(
         "mentions",
@@ -238,9 +260,38 @@ def link(
     surfaces = surfaces0.coalesce(p_surf)
     mark(f"surfaces materialize (n={n_surf}, p={p_surf})", _t0)
 
+    # S8: a COMMITTED alias store is the single source of truth for the
+    # dictionary side in EVERY regime — blocking, dense lookup, and the
+    # join path all derive from the same store rows ("store wins", the
+    # contract test_link_alias_store_reuse documents). Round-4 ADVICE:
+    # deriving blocking from the `entities` argument while the dense
+    # matrix came from the store made divergent dictionaries crash (bc
+    # id-map NaN) or silently skip store-only aliases depending on
+    # corpus size. A store with no committed version is ignored here and
+    # populated below on first run (dimension-scale path).
+    ai_store = None
+    store_idx = None
+    if cfg.alias_store is not None:
+        from .index_store import EntityIndexStore
+
+        ai_store = EntityIndexStore(spark, cfg.alias_store)
+        idx = ai_store.index_df()
+        if idx is not None and "norm" in idx.columns:
+            store_idx = idx
+    alias_records = (
+        store_idx.select(F.col("id").alias("rid"), "norm")
+        if store_idx is not None
+        else ent_surfaces.select("rid", "norm").distinct()
+    )
+
     _t0 = _time.monotonic()
     s_keyed = keyed_records(surfaces, "rid").persist()
-    e_keyed = keyed_records(ent_surfaces, "rid")
+    e_keyed = keyed_records(alias_records, "rid")
+    # surface-side block-size histogram, computed ONCE and shared by both
+    # pair generators (candidate_pairs sizes its own blocks with it;
+    # cross_family_pairs adds the dimension side's tiny per-key counts) —
+    # one salted aggregation pass over s_keyed instead of two
+    s_sizes = block_sizes_salted(s_keyed).persist()
 
     # s_keyed fills its cache lazily inside the first pairs job — cheap
     # column exprs + one tiny minhash UDF task, not worth a dedicated
@@ -251,7 +302,15 @@ def link(
     # limit (vocabularies past driver memory) the vectors stay distributed
     # and join onto pairs instead.
     s_embs = _with_emb(surfaces.select("rid", "norm"), enc=cfg.encoder).persist()
-    use_bc = n_surf <= cfg.broadcast_dense_limit
+    # resumable runs with BOTH pair stages already committed skip every
+    # eager scoring prerequisite below (surface toPandas, alias encode or
+    # store load, broadcasts, store commit): the mm_pairs/me_pairs
+    # closures are never invoked, so building their inputs at plan-build
+    # time was pure waste on resume (round-4 ADVICE).
+    pairs_cached = (
+        store is not None and store.is_done("pairs_mm") and store.is_done("pairs_me")
+    )
+    use_bc = not pairs_cached and n_surf <= cfg.broadcast_dense_limit
     bc_s = None
     s_rows: list | None = None
     s_mat = None
@@ -268,28 +327,22 @@ def link(
             else np.zeros((0, 1), np.float32)
         )
         bc_s = spark.sparkContext.broadcast((s_ids, s_mat))
-        # alias dimension table: loaded from a committed EntityIndexStore
-        # when available (S8 reuse — no re-encode), else encoded as a
-        # Spark job (partitioned by the n_surf proxy — avoids a dedicated
-        # count job) and committed to the store if one was given. Results
-        # are collected once for both the broadcast-dense and local paths.
-        ai_store = None
-        if cfg.alias_store is not None:
-            from .index_store import EntityIndexStore
-
-            ai_store = EntityIndexStore(spark, cfg.alias_store)
-            idx = ai_store.index_df()
-            if idx is not None and "norm" in idx.columns:
-                apdf = (
-                    idx.orderBy("ord")
-                    .select(F.col("id").alias("rid"), "norm", "emb")
-                    .toPandas()
-                )
-        if apdf is None:
-            n_alias = ent_surfaces.select("rid", "norm").distinct()
+        # alias dimension table: the committed store's rows when loaded
+        # (S8 reuse — no re-encode; the SAME rows e_keyed blocks on), else
+        # alias_records encoded as a Spark job (partitioned by the n_surf
+        # proxy — avoids a dedicated count job) and committed to the store
+        # if one was given. Collected once for both the broadcast-dense
+        # and local paths.
+        if store_idx is not None:
+            apdf = (
+                store_idx.orderBy("ord")
+                .select(F.col("id").alias("rid"), "norm", "emb")
+                .toPandas()
+            )
+        else:
             p_ent = max(1, min(spark.sparkContext.defaultParallelism, n_surf // 2000 + 1))
             apdf = (
-                _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder)
+                _with_emb(alias_records.coalesce(p_ent), enc=cfg.encoder)
                 .select("rid", "norm", "emb")
                 .toPandas()
             )
@@ -316,11 +369,12 @@ def link(
                     "measure": cfg.measure,
                 },
             )
-    else:
+    elif not pairs_cached:
         s_embs.count()
     use_local = (
         cfg.driver_pairs_limit > 0
         and use_bc
+        and apdf is not None
         and n_surf + len(apdf) <= cfg.driver_pairs_limit
     )
     mark(f"keys+embs materialize (local_pairs={use_local})", _t0)
@@ -335,7 +389,7 @@ def link(
                 cfg.max_block_size, cfg.neighborhood,
             )
             return spark.createDataFrame(rows, _PAIRS_SCHEMA)
-        p = candidate_pairs(s_keyed, cfg.max_block_size, cfg.neighborhood)
+        p = candidate_pairs(s_keyed, cfg.max_block_size, cfg.neighborhood, sizes=s_sizes)
         if use_bc:
             dense_udf = make_broadcast_dense_udf(cfg.measure, bc_s, bc_s)
             p = p.withColumn("dense", dense_udf(F.col("a"), F.col("b")))
@@ -361,11 +415,18 @@ def link(
                 cfg.tau_ent, cfg.me_max_block_size, cfg.neighborhood,
             )
             return spark.createDataFrame(rows, _PAIRS_SCHEMA)
+        # dedup=False: the top-1 window below already collapses duplicate
+        # (a, b, norm_b) candidates (identical rows score identically, so
+        # rank-1 output is invariant) — skipping the dropDuplicates saves
+        # a full shuffle of the largest intermediate in the pipeline
+        # (0.6-4M rows at 8k entities, round-4 profile)
         p = cross_family_pairs(
             s_keyed,
             e_keyed,
             max_block_size=cfg.me_max_block_size,
             neighborhood=cfg.neighborhood,
+            dedup=False,
+            left_sizes=s_sizes,
         )
         if use_bc:
             a_ids = {f"{r}\x00{nm}": i for i, (r, nm) in enumerate(a_rows)}
@@ -377,27 +438,23 @@ def link(
             )
             scored = score_pairs(p, cfg.measure, cfg.dense_weight, dense_col="dense")
         else:
-            alias_embs = None
-            if cfg.alias_store is not None:
-                from .index_store import EntityIndexStore
-
-                idx = EntityIndexStore(spark, cfg.alias_store).index_df()
-                if idx is not None and "norm" in idx.columns:
-                    # vocabulary-scale reuse: the stored index stays a
-                    # distributed frame (load-only here; committing an
-                    # ordinal at this scale is the store builder's job)
-                    alias_embs = idx.select(F.col("id").alias("rid"), "norm", "emb")
-            if alias_embs is None:
-                n_alias = ent_surfaces.select("rid", "norm").distinct()
+            if store_idx is not None:
+                # vocabulary-scale reuse: the stored index stays a
+                # distributed frame (load-only here; committing an
+                # ordinal at this scale is the store builder's job) —
+                # the SAME rows e_keyed blocks on, so the join is inner
+                # over a consistent dictionary in every regime
+                alias_embs = store_idx.select(F.col("id").alias("rid"), "norm", "emb")
+            else:
                 # dimension-scale partitioning heuristic: each Arrow UDF
                 # task has a ~0.25 s fixed cost, so tiny alias tables
                 # encode on one partition; large dictionaries keep
                 # parallelism
                 p_ent = max(
                     1,
-                    min(spark.sparkContext.defaultParallelism, n_alias.count() // 2000 + 1),
+                    min(spark.sparkContext.defaultParallelism, alias_records.count() // 2000 + 1),
                 )
-                alias_embs = _with_emb(n_alias.coalesce(p_ent), enc=cfg.encoder)
+                alias_embs = _with_emb(alias_records.coalesce(p_ent), enc=cfg.encoder)
             ea = s_embs.select(F.col("rid").alias("a"), F.col("emb").alias("emb_a"))
             eb = F.broadcast(
                 alias_embs.select(
@@ -504,7 +561,7 @@ def link(
         # materialize before dropping upstream caches (clusters is lazy here)
         clusters = clusters.persist()
         clusters.count()
-    unpersist = [surfaces0, s_keyed, s_embs]
+    unpersist = [surfaces0, s_keyed, s_sizes, s_embs]
     if store is None:
         unpersist.append(edges)
     if verbose and store is None:

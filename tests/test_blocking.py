@@ -109,3 +109,33 @@ def test_cross_family_hot_key_is_bounded(spark):
     assert max(per_a_key.values()) < 6 * 2 * w  # 6 key families x 2w
     assert len(rows) < n * 6 * 2 * w
     assert len(rows) < n * n  # and strictly below the exact product
+
+
+def test_cross_family_dedup_false_and_shared_sizes_match(spark):
+    """Round-5 perf path: dedup=False must emit a row SUPERSET whose
+    dedup equals the default output, and a precomputed left_sizes
+    histogram must not change the capped dispatch (identical pairs)."""
+    from mix_blink_spark.operators.blocking import block_sizes_salted
+
+    n = 40
+    mentions = keyed_records(
+        _recs(spark, [(f"m{i:03d}", f"global name{i:03d}") for i in range(n)]), "rid"
+    )
+    ents = keyed_records(
+        _recs(spark, [(f"ENT::E{i:03d}", f"global name{i:03d}") for i in range(n)]), "rid"
+    )
+    for cap in (None, 15):
+        ded = cross_family_pairs(mentions, ents, max_block_size=cap)
+        raw = cross_family_pairs(mentions, ents, max_block_size=cap, dedup=False)
+        key = lambda p: (p["a"], p["b"], p["norm_b"])
+        ded_set, raw_set = ({key(p) for p in df.collect()} for df in (ded, raw))
+        assert raw_set == ded_set  # same distinct candidates
+        assert raw.count() >= ded.count()
+    shared = cross_family_pairs(
+        mentions, ents, max_block_size=15,
+        left_sizes=block_sizes_salted(mentions),
+    )
+    plain = cross_family_pairs(mentions, ents, max_block_size=15)
+    assert {(p["a"], p["b"], p["norm_b"]) for p in shared.collect()} == {
+        (p["a"], p["b"], p["norm_b"]) for p in plain.collect()
+    }

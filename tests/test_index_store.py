@@ -128,3 +128,50 @@ def test_link_alias_store_reuse(spark, corpus, tmp_path):
     out3 = link(spark, pages, spans, ents, LinkConfig(alias_store=empty_dir))
     assert out3["pairs_me"].count() == 0
     assert len(me1) > 0
+
+
+def test_alias_store_wins_in_every_scale_regime(spark, corpus, tmp_path):
+    """Round-4 ADVICE (medium): a committed store whose dictionary
+    DIVERGES from the `entities` argument must behave identically —
+    store wins — in the driver-local path, the distributed
+    broadcast-dense path, and the distributed join path. Before the fix,
+    the bc-dense path blocked on `entities` while its dense lookup came
+    from the store: an alias present in entities but absent from the
+    store crashed the id-map (NaN -> int64 cast), and store-only aliases
+    were silently never blocked."""
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.plans.pipeline import LinkConfig, link
+
+    ents, pages, golds = corpus["entities"], corpus["pages"], corpus["mentions_gold"]
+    spans = golds.select("url", "mention_id", "start", "end")
+
+    # commit a store holding only HALF the dictionary (ids divergent from
+    # the entities argument: half missing, none extra -> the pre-fix
+    # bc-dense path would hit unmapped aliases from `entities`)
+    half_ids = [r["id"] for r in ents.select("id").distinct().collect()]
+    half_ids = set(sorted(half_ids)[: len(half_ids) // 2])
+    half_dir = str(tmp_path / "alias-half")
+    link(
+        spark,
+        pages,
+        spans,
+        ents.filter(F.col("id").isin(list(half_ids))),
+        LinkConfig(alias_store=half_dir),
+    )
+    assert EntityIndexStore(spark, half_dir).version() == 1
+
+    def anchors(**kw):
+        out = link(
+            spark, pages, spans, ents, LinkConfig(alias_store=half_dir, **kw)
+        )
+        return {(r["a"], r["b"]) for r in out["pairs_me"].collect()}
+
+    local = anchors()                                        # driver-local
+    bc = anchors(driver_pairs_limit=0)                       # bc-dense distributed
+    joined = anchors(driver_pairs_limit=0, broadcast_dense_limit=0)  # join path
+    assert local == bc == joined
+    # store wins: every anchor targets a store entity, none a dropped one
+    assert local, "half dictionary should still anchor some surfaces"
+    for _a, b in local:
+        assert b.removeprefix("ENT::") in half_ids

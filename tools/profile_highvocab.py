@@ -60,7 +60,7 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
-    out = link(spark, pages, spans, ents, LinkConfig(broadcast_spans=True), verbose=True)
+    out = link(spark, pages, spans, ents, LinkConfig(broadcast_spans=True, me_max_block_size=200), verbose=True)
     clusters = out["clusters"].persist()
     n_members = clusters.count()
     total = time.monotonic() - t0

@@ -42,7 +42,7 @@ def _leg(cpus: int, pages: int) -> None:
         "url", "m.mention_id", "m.start", "m.end"
     )
     t0 = time.monotonic()
-    out = link(spark, pages_df, spans, ents, LinkConfig(), verbose=True)
+    out = link(spark, pages_df, spans, ents, LinkConfig(me_max_block_size=200), verbose=True)
     out["clusters"].count()
     print(json.dumps({"leg_total_sec": round(time.monotonic() - t0, 2)}))
     spark.stop()
