@@ -221,6 +221,77 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mined_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """J4/S7 driver gate (round-4 verdict item 7): the reference's
+    ``get_candidate`` dual-list contract — ``candidates`` = raw top-10
+    (golds INCLUDED, dense.py:115), ``hard_negatives`` = gold-removed
+    top-10 (dense.py:116-120) — assembled by ``mine_from_hits`` over
+    exact-cosine hits with k' = 10 + max(|labels|)
+    (cli/get_candidates.py:35), written back as a mention_id key join
+    with empty-array fallback for unmined mentions. Golds exist only for
+    EVEN query ids (odd ids exercise the no-gold passthrough); span ids
+    50-59 are never searched (exercise the empty-array fallback). Lists
+    are emitted as CSV strings so the value hash is array-order-exact."""
+    from mix_blink_spark.operators.knn import brute_force_topk
+    from mix_blink_spark.plans.candidates import mine_from_hits
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    golds = (
+        q.alias("q")
+        .filter(F.col("q.vec_id") % 2 == 0)
+        .join(e.alias("c"), F.col("q.label") == F.col("c.label"))
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .groupBy(F.col("q.vec_id").cast("string").alias("mention_id"))
+        .agg(F.collect_set(F.col("c.vec_id").cast("string")).alias("labels"))
+    )
+    max_labels = golds.agg(F.max(F.size("labels"))).first()[0] or 1
+    hits = brute_force_topk(q, e, k=10 + max_labels).withColumnRenamed("vec_id", "rid")
+    spans = e.filter(F.col("vec_id") < 60).select(
+        F.concat(F.lit("u"), F.col("vec_id")).alias("url"),
+        F.col("vec_id").cast("string").alias("mention_id"),
+        F.lit(0).alias("start"),
+        F.lit(1).alias("end"),
+    )
+    out = mine_from_hits(hits, spans, golds, top_k=10)
+    return out.select(
+        F.col("mention_id").cast("bigint").alias("mention_id"),
+        F.size("candidates").alias("n_cand"),
+        F.concat_ws(",", "candidates").alias("cand_csv"),
+        F.size("hard_negatives").alias("n_negs"),
+        F.concat_ws(",", "hard_negatives").alias("negs_csv"),
+    )
+
+
+def q_predictions_top5(spark: SparkSession, sf: str) -> DataFrame:
+    """S6/P8/F5 driver gate: the reference's prediction payload — top-5 per
+    mention with entity name/id via a broadcast dim join, similarity
+    rounded to 4 dp (predict.py:23,46), description truncated to 300
+    chars (predict.py:40-52). Hits are exact cosine over embeddings; the
+    entity dim is derived from documents (id = doc_id)."""
+    from mix_blink_spark.operators.knn import brute_force_topk
+    from mix_blink_spark.operators.topk import predictions_payload
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    hits = brute_force_topk(q, e, k=5).withColumnRenamed("vec_id", "rid")
+    ents = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.substring("text", 1, 12).alias("name"),
+        F.col("text").alias("description"),
+    )
+    out = predictions_payload(hits, ents, top_k=5)
+    return out.select(
+        F.col("rid").cast("bigint").alias("mention_id"),
+        "rank",
+        "name",
+        F.col("id").cast("bigint").alias("id"),
+        "similarity",
+        F.length("description").alias("desc_len"),
+        F.substring("description", 290, 11).alias("desc_tail"),
+    )
+
+
 def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     """A5: large-star/small-star CC on a deterministic chain graph."""
     from mix_blink_spark.operators.cc import connected_components
@@ -577,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_top5": q_knn_top5,
         "recall_mrr": q_recall_mrr,
         "hard_negatives": q_hard_negatives,
+        "mined_candidates": q_mined_candidates,
+        "predictions_top5": q_predictions_top5,
         "connected_components": q_connected_components,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -844,6 +917,74 @@ def oracle_sql() -> dict[str, str]:
                            row_number() OVER (PARTITION BY q_id ORDER BY rank) AS rank2
                     FROM nongold)
             SELECT q_id AS vec_id, c_id AS hit_id, rank2 AS rank FROM rer WHERE rank2 <= 10
+        """,
+        "mined_candidates": """
+            WITH uq AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) v,
+                               generate_subscripts(embedding,1) i FROM embeddings),
+            norms AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM uq GROUP BY 1),
+            dots AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS c_id, sum(q.v * c.v) AS dot
+              FROM uq q JOIN uq c ON q.i = c.i
+              WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT q_id, c_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, c_id) AS rank
+              FROM dots JOIN norms nq ON nq.vec_id = q_id
+                        JOIN norms nc ON nc.vec_id = c_id),
+            gold AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+                     FROM embeddings q JOIN embeddings c ON q.label = c.label
+                     WHERE q.vec_id < 50 AND q.vec_id % 2 = 0
+                       AND q.vec_id <> c.vec_id),
+            kp AS (SELECT 10 + coalesce(max(n), 1) AS k FROM
+                     (SELECT q_id, count(*) AS n FROM gold GROUP BY 1)),
+            top AS (SELECT * FROM ranked WHERE rank <= (SELECT k FROM kp)),
+            cand AS (SELECT q_id,
+                            list(CAST(c_id AS VARCHAR) ORDER BY rank) AS l
+                     FROM top WHERE rank <= 10 GROUP BY 1),
+            nong AS (SELECT t.q_id, t.c_id,
+                            row_number() OVER (PARTITION BY t.q_id
+                                               ORDER BY t.rank) AS rk2
+                     FROM top t LEFT JOIN gold g
+                       ON g.q_id = t.q_id AND g.c_id = t.c_id
+                     WHERE g.c_id IS NULL),
+            negs AS (SELECT q_id,
+                            list(CAST(c_id AS VARCHAR) ORDER BY rk2) AS l
+                     FROM nong WHERE rk2 <= 10 GROUP BY 1)
+            SELECT s.vec_id AS mention_id,
+                   CAST(coalesce(len(c.l), 0) AS INT) AS n_cand,
+                   coalesce(array_to_string(c.l, ','), '') AS cand_csv,
+                   CAST(coalesce(len(n.l), 0) AS INT) AS n_negs,
+                   coalesce(array_to_string(n.l, ','), '') AS negs_csv
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id < 60) s
+            LEFT JOIN cand c ON c.q_id = s.vec_id
+            LEFT JOIN negs n ON n.q_id = s.vec_id
+        """,
+        "predictions_top5": """
+            WITH uq AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) v,
+                               generate_subscripts(embedding,1) i FROM embeddings),
+            norms AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM uq GROUP BY 1),
+            dots AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS c_id, sum(q.v * c.v) AS dot
+              FROM uq q JOIN uq c ON q.i = c.i
+              WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT q_id, c_id, dot / (nq.nrm * nc.nrm) AS cos,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, c_id) AS rank
+              FROM dots JOIN norms nq ON nq.vec_id = q_id
+                        JOIN norms nc ON nc.vec_id = c_id),
+            top AS (SELECT * FROM ranked WHERE rank <= 5)
+            SELECT t.q_id AS mention_id,
+                   CAST(t.rank AS INT) AS rank,
+                   substr(d.text, 1, 12) AS name,
+                   t.c_id AS id,
+                   round(t.cos, 4) AS similarity,
+                   CAST(length(substr(d.text, 1, 300)) AS INT) AS desc_len,
+                   substr(substr(d.text, 1, 300), 290, 11) AS desc_tail
+            FROM top t LEFT JOIN documents d ON d.doc_id = t.c_id
         """,
         "connected_components": """
             WITH RECURSIVE e AS (

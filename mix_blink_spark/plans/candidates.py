@@ -78,25 +78,25 @@ def inject_candidates(dataset_mentions: DataFrame, mined: DataFrame) -> DataFram
     return examples.select(F.col("doc_id").alias("doc-id"), "examples")
 
 
-def mine_candidates(
-    spark: SparkSession,
-    pages: DataFrame,
+def mine_from_hits(
+    hits: DataFrame,
     spans: DataFrame,
-    entities: DataFrame,
     golds: DataFrame,
     top_k: int = 10,
-    measure: str = "ip",
 ) -> DataFrame:
-    """(url, mention_id, start, end, labels, candidates, hard_negatives) —
-    the input spans re-emitted with the reference's two lists:
-    ``candidates`` = raw top-k (golds included, dense.py:115),
-    ``hard_negatives`` = gold-removed top-k (dense.py:116-120).
+    """J4 list assembly from pre-ranked hits — the encoder-free core of
+    ``mine_candidates`` (factored out so the driver gate can feed it
+    exact-cosine hits over a SQL-expressible table).
 
-    ``top_k=10`` is the reference default (argparser.py:46).
+    ``hits``: (rid, hit_id, score, rank) searched with
+    k' >= top_k + max(|labels|) per rid; ``spans``: (url, mention_id,
+    start, end); ``golds``: (mention_id, labels array<string>). Output
+    matches ``mine_candidates``: spans re-emitted with ``candidates`` =
+    raw top-k (golds included, dense.py:115) and ``hard_negatives`` =
+    gold-removed top-k (dense.py:116-120); mentions with no hits get
+    empty arrays (the key-join write-back, J4's documented fix).
     """
     g = golds.select(F.col("mention_id").alias("rid"), "labels")
-    max_labels = golds.agg(F.max(F.size("labels"))).first()[0] or 1
-    hits = _mention_hits(spark, pages, spans, entities, k=top_k + max_labels, measure=measure)
 
     def collect_ranked(df: DataFrame, col: str) -> DataFrame:
         return (
@@ -122,3 +122,26 @@ def mine_candidates(
             F.coalesce("hard_negatives", _empty()).alias("hard_negatives"),
         )
     )
+
+
+def mine_candidates(
+    spark: SparkSession,
+    pages: DataFrame,
+    spans: DataFrame,
+    entities: DataFrame,
+    golds: DataFrame,
+    top_k: int = 10,
+    measure: str = "ip",
+) -> DataFrame:
+    """(url, mention_id, start, end, labels, candidates, hard_negatives) —
+    the input spans re-emitted with the reference's two lists:
+    ``candidates`` = raw top-k (golds included, dense.py:115),
+    ``hard_negatives`` = gold-removed top-k (dense.py:116-120).
+
+    ``top_k=10`` is the reference default (argparser.py:46). Searches
+    k' = top_k + max(|labels|) (cli/get_candidates.py:35) through the
+    full mention-encode pipeline, then assembles via ``mine_from_hits``.
+    """
+    max_labels = golds.agg(F.max(F.size("labels"))).first()[0] or 1
+    hits = _mention_hits(spark, pages, spans, entities, k=top_k + max_labels, measure=measure)
+    return mine_from_hits(hits, spans, golds, top_k=top_k)
