@@ -32,6 +32,41 @@ def test_mine_candidates(spark, corpus):
     assert sum(1 for r in rows if r["hard_negatives"]) > len(rows) * 0.5
 
 
+def test_mine_from_hits_edges(spark):
+    """J4 list assembly from pre-ranked hits: no-gold passthrough (negs ==
+    raw candidates), gold removal + truncation, and the empty-array
+    fallback for spans that were never searched."""
+    from mix_blink_spark.plans.candidates import mine_from_hits
+
+    # m1 searched with golds, m2 searched without golds, m3 never searched
+    hits = spark.createDataFrame(
+        [("m1", f"e{i}", 1.0 - i / 10.0, i) for i in range(1, 5)]
+        + [("m2", f"e{i}", 1.0 - i / 10.0, i) for i in range(1, 4)],
+        "rid string, hit_id string, score double, rank int",
+    )
+    spans = spark.createDataFrame(
+        [(f"u{i}", f"m{i}", 0, 1) for i in (1, 2, 3)],
+        "url string, mention_id string, start int, end int",
+    )
+    golds = spark.createDataFrame(
+        [("m1", ["e2"])], "mention_id string, labels array<string>"
+    )
+    out = {
+        r["mention_id"]: r
+        for r in mine_from_hits(hits, spans, golds, top_k=2).collect()
+    }
+    assert len(out) == 3
+    # raw candidates keep the gold; negatives drop it, re-rank, truncate
+    assert out["m1"]["candidates"] == ["e1", "e2"]
+    assert out["m1"]["hard_negatives"] == ["e1", "e3"]
+    # no golds: both lists are the raw top-k
+    assert out["m2"]["candidates"] == ["e1", "e2"]
+    assert out["m2"]["hard_negatives"] == ["e1", "e2"]
+    # never searched: empty arrays, not nulls (key-join fallback)
+    assert out["m3"]["candidates"] == []
+    assert out["m3"]["hard_negatives"] == []
+
+
 def test_dedup_decisions(spark):
     from mix_blink_spark.operators.dedup import dedup_decisions
 
