@@ -223,10 +223,16 @@ def _run_er(
         from mix_blink_spark.sources.pages import read_pages_extracted_python
 
         pages = read_pages_extracted_python(spark, corpus_p, columns=("url", "lang"))
-        if dp > 12:
-            # ~16 concurrent scan tasks saturate this box's kernel data
-            # path; row-group splits re-balance within the coalesce
-            pages = pages.coalesce(16)
+        slots = int(os.environ.get("SPARK_GRAFT_SCAN_SLOTS", "16"))
+        if slots and dp > slots:
+            # concurrent-reader cap, 0 disables. The round-5 mmap+arrow
+            # reader no longer NEEDS it (the buffered reader's kernel time
+            # collapsed past ~8 readers; the new one scales near-linearly
+            # to 32 raw — scan_ceiling_r5.json) but in-Spark the capped
+            # shape still measured slightly better at local[32]
+            # (14.9/15.9 s vs 15.7/21.0 s legs): past ~16 scan tasks the
+            # per-task worker overhead outweighs reader parallelism here
+            pages = pages.coalesce(slots)
     else:
         pages = corpus.select("url", "warc_ts", "html", "lang")
     t0 = time.monotonic()

@@ -318,7 +318,43 @@ def link(
     if use_bc:
         import numpy as np
 
-        spdf = s_embs.select("rid", "norm", "emb").toPandas()
+        # alias dimension table: the committed store's rows when loaded
+        # (S8 reuse — no re-encode; the SAME rows e_keyed blocks on), else
+        # alias_records encoded as a Spark job (partitioned by the n_surf
+        # proxy — avoids a dedicated count job) and committed to the store
+        # if one was given. Collected once for both the broadcast-dense
+        # and local paths. Without a store, surfaces and aliases encode +
+        # collect in ONE side-tagged Spark job instead of two: at
+        # dimension scale each toPandas round trip is mostly fixed job
+        # overhead, and that fixed cost is what caps the N→4N ratio
+        # (round 5 — both legs pay it equally).
+        if store_idx is not None:
+            spdf = s_embs.select("rid", "norm", "emb").toPandas()
+            apdf = (
+                store_idx.orderBy("ord")
+                .select(F.col("id").alias("rid"), "norm", "emb")
+                .toPandas()
+            )
+        else:
+            p_ent = max(1, min(spark.sparkContext.defaultParallelism, n_surf // 2000 + 1))
+            both = (
+                surfaces.select("rid", "norm")
+                .withColumn("side", F.lit(0))
+                .unionByName(
+                    alias_records.coalesce(p_ent).withColumn("side", F.lit(1))
+                )
+                # the union carries p_surf + p_ent partitions; at dimension
+                # scale that's 2 sequential ~0.5s-fixed-cost UDF tasks for
+                # ~1k tiny rows — collapse to the intended parallelism
+                .coalesce(p_ent)
+            )
+            bpdf = (
+                _with_emb(both, enc=cfg.encoder)
+                .select("side", "rid", "norm", "emb")
+                .toPandas()
+            )
+            spdf = bpdf[bpdf["side"] == 0].reset_index(drop=True)
+            apdf = bpdf[bpdf["side"] == 1].reset_index(drop=True)
         s_ids = {r: i for i, r in enumerate(spdf["rid"])}
         s_rows = list(zip(spdf["rid"], spdf["norm"]))
         s_mat = (
@@ -327,25 +363,6 @@ def link(
             else np.zeros((0, 1), np.float32)
         )
         bc_s = spark.sparkContext.broadcast((s_ids, s_mat))
-        # alias dimension table: the committed store's rows when loaded
-        # (S8 reuse — no re-encode; the SAME rows e_keyed blocks on), else
-        # alias_records encoded as a Spark job (partitioned by the n_surf
-        # proxy — avoids a dedicated count job) and committed to the store
-        # if one was given. Collected once for both the broadcast-dense
-        # and local paths.
-        if store_idx is not None:
-            apdf = (
-                store_idx.orderBy("ord")
-                .select(F.col("id").alias("rid"), "norm", "emb")
-                .toPandas()
-            )
-        else:
-            p_ent = max(1, min(spark.sparkContext.defaultParallelism, n_surf // 2000 + 1))
-            apdf = (
-                _with_emb(alias_records.coalesce(p_ent), enc=cfg.encoder)
-                .select("rid", "norm", "emb")
-                .toPandas()
-            )
         a_rows = list(zip(apdf["rid"], apdf["norm"]))
         a_mat = (
             np.stack(apdf["emb"].to_numpy()).astype(np.float32)
@@ -379,6 +396,9 @@ def link(
     )
     mark(f"keys+embs materialize (local_pairs={use_local})", _t0)
     _PAIRS_SCHEMA = "a string, b string, dense double, jw double, lev double, score double"
+    # pair rows computed driver-side (use_local regime) are stashed here so
+    # the edges/CC steps below can reuse them without a Spark round trip
+    _local: dict[str, list] = {}
 
     def mm_pairs():
         if use_local:
@@ -388,6 +408,7 @@ def link(
                 s_rows, s_mat, cfg.measure, cfg.dense_weight,
                 cfg.max_block_size, cfg.neighborhood,
             )
+            _local["mm"] = rows
             return spark.createDataFrame(rows, _PAIRS_SCHEMA)
         p = candidate_pairs(s_keyed, cfg.max_block_size, cfg.neighborhood, sizes=s_sizes)
         if use_bc:
@@ -414,6 +435,7 @@ def link(
                 s_rows, s_mat, a_rows, a_mat, cfg.measure, cfg.dense_weight,
                 cfg.tau_ent, cfg.me_max_block_size, cfg.neighborhood,
             )
+            _local["me"] = rows
             return spark.createDataFrame(rows, _PAIRS_SCHEMA)
         # dedup=False: the top-1 window below already collapses duplicate
         # (a, b, norm_b) candidates (identical rows score identically, so
@@ -508,7 +530,25 @@ def link(
 
     edges = stage("edges", make_edges)
     n_edges: int | None = None
-    if store is None:
+    local_assign: list[tuple[str, str]] | None = None
+    edges_persisted = False
+    if store is None and use_local and "mm" in _local and "me" in _local:
+        # the pair rows never left the driver in this regime, so edges and
+        # the union-find run here directly — skipping the edges count job,
+        # CC's collect job, and the pair-cache re-read. Same contract as
+        # connected_components' driver path (self-loops dropped, min-id
+        # cluster ids); the returned `edges` DataFrame is definitionally
+        # the same rows (make_edges over createDataFrame'd _local rows).
+        from ..operators.cc import _unionfind_local
+
+        _t0 = _time.monotonic()
+        edge_rows = [
+            (r[0], r[1]) for r in _local["mm"] if r[5] >= cfg.tau_mm and r[0] != r[1]
+        ] + [(r[0], r[1]) for r in _local["me"] if r[0] != r[1]]
+        n_edges = len(edge_rows)
+        local_assign = _unionfind_local(edge_rows)
+        mark(f"edges local (n={n_edges})", _t0)
+    elif store is None:
         # CC takes several actions over edges (size probe, collect/loop)
         # and the cluster projection re-reads them; without a persist the
         # whole pair-scoring DAG re-executes per action (measured: the
@@ -519,6 +559,7 @@ def link(
         # and (b) doubles as the CC dispatch hint — connected_components
         # skips its limit-probe job when the bound is under threshold.
         edges = edges.persist()
+        edges_persisted = True
         _t0 = _time.monotonic()
         n_edges = edges.count()
         mark(f"edges materialize (n={n_edges})", _t0)
@@ -526,12 +567,17 @@ def link(
     def cluster():
         # reliable checkpoints only in resumable (store) mode; localCheckpoint
         # truncates lineage identically for in-session runs
-        assignment = connected_components(
-            edges,
-            checkpoint=store is not None,
-            verbose=verbose,
-            n_edges_hint=n_edges,
-        )
+        if local_assign is not None:
+            assignment = spark.createDataFrame(
+                local_assign, "member string, cluster_id string"
+            )
+        else:
+            assignment = connected_components(
+                edges,
+                checkpoint=store is not None,
+                verbose=verbose,
+                n_edges_hint=n_edges,
+            )
         surf_assign = (
             surfaces.join(assignment.withColumnRenamed("member", "rid"), "rid", "left")
             .select("norm", F.coalesce("cluster_id", F.col("rid")).alias("cluster_id"))
@@ -562,7 +608,7 @@ def link(
         clusters = clusters.persist()
         clusters.count()
     unpersist = [surfaces0, s_keyed, s_sizes, s_embs]
-    if store is None:
+    if edges_persisted:
         unpersist.append(edges)
     if verbose and store is None:
         unpersist.extend([pairs_mm, pairs_me])

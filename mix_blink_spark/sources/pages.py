@@ -178,22 +178,35 @@ def read_pages_extracted_python(
     out_cols = list(columns) + ["text"]
 
     def gen(batches):
-        import pandas as pd
         import pyarrow.parquet as pq
 
         for pdf in batches:
             for path_, rg in zip(pdf["path"], pdf["rg"]):
-                tbl = pq.ParquetFile(path_).read_row_group(
+                # memory_map + decode straight off the Arrow buffers: the
+                # buffered read()+to_pandas+bytes() path moves the heavy
+                # html column through three extra copies, and its kernel
+                # time COLLAPSES under reader concurrency on this class of
+                # host (measured, bench_artifacts/scan_ceiling_r5.json:
+                # sys-time 23s -> 1,833s from 4 to 32 readers; 10.3k ->
+                # 3.5k pages/s). mmap reads decompress straight from the
+                # page cache and the per-value buffer slice is the ONLY
+                # materialized copy before decode: same kernel scales
+                # near-linearly (14.9k -> 59.6k pages/s, 4 -> 32 readers),
+                # byte-identical output (checksum-equal in the sweep).
+                tbl = pq.ParquetFile(path_, memory_map=True).read_row_group(
                     int(rg), columns=list(columns) + ["html"]
                 )
-                d = tbl.to_pandas()
-                d["text"] = d.pop("html").map(
-                    lambda b: extract_text_str(
-                        (bytes(b)).decode("utf-8", errors="replace")
+                texts = [
+                    extract_text_str(
+                        v.as_buffer().to_pybytes().decode("utf-8", errors="replace")
                     )
-                    if b is not None
+                    if v.is_valid
                     else None
-                )
+                    for chunk in tbl.column("html").chunks
+                    for v in chunk
+                ]
+                d = tbl.drop_columns("html").to_pandas()
+                d["text"] = texts
                 yield d[out_cols]
 
     schema = ", ".join(
