@@ -568,8 +568,14 @@ def link(
         # reliable checkpoints only in resumable (store) mode; localCheckpoint
         # truncates lineage identically for in-session runs
         if local_assign is not None:
-            assignment = spark.createDataFrame(
-                local_assign, "member string, cluster_id string"
+            # the (rid, norm) surface rows AND the assignment are both
+            # driver-local in this regime, so the surface->cluster map is a
+            # dict lookup — the same left-join-with-rid-fallback semantics
+            # as below without the join job + its broadcast-build chain
+            amap = dict(local_assign)
+            surf_assign = spark.createDataFrame(
+                [(nm, amap.get(r, r)) for r, nm in s_rows],
+                "norm string, cluster_id string",
             )
         else:
             assignment = connected_components(
@@ -578,10 +584,10 @@ def link(
                 verbose=verbose,
                 n_edges_hint=n_edges,
             )
-        surf_assign = (
-            surfaces.join(assignment.withColumnRenamed("member", "rid"), "rid", "left")
-            .select("norm", F.coalesce("cluster_id", F.col("rid")).alias("cluster_id"))
-        )
+            surf_assign = (
+                surfaces.join(assignment.withColumnRenamed("member", "rid"), "rid", "left")
+                .select("norm", F.coalesce("cluster_id", F.col("rid")).alias("cluster_id"))
+            )
         m = mentions.select("mention_id", "norm")
         # the projection joins CORPUS-scale mentions against the
         # dimension-scale surface assignment: broadcast the small side so
@@ -589,16 +595,16 @@ def link(
         # we already counted — at vocabulary scales past the broadcast
         # budget this degrades to the shuffle join AQE would plan anyway.
         sa = F.broadcast(surf_assign) if n_surf < 2_000_000 else surf_assign
-        with_norm = (
-            m.filter(F.length("norm") > 0)
-            .join(sa, "norm")
-            .select(F.col("mention_id").alias("member"), "cluster_id")
+        # single pass over the mention table: every non-empty norm is in
+        # surf_assign by construction (surfaces = distinct non-empty norms
+        # of these mentions), so the left join matches exactly them and the
+        # null-side fallback makes empty-norm mentions singletons — the
+        # same result as an inner join + union of the two filters, without
+        # reading the corpus-scale cache twice
+        return m.join(sa, "norm", "left").select(
+            F.col("mention_id").alias("member"),
+            F.coalesce("cluster_id", F.col("mention_id")).alias("cluster_id"),
         )
-        # empty-norm mentions: singletons
-        empties = m.filter(F.length("norm") == 0).select(
-            F.col("mention_id").alias("member"), F.col("mention_id").alias("cluster_id")
-        )
-        return with_norm.unionByName(empties)
 
     _t0 = _time.monotonic()
     clusters = stage("clusters", cluster)
@@ -606,7 +612,9 @@ def link(
     if store is None:
         # materialize before dropping upstream caches (clusters is lazy here)
         clusters = clusters.persist()
+        _t0 = _time.monotonic()
         clusters.count()
+        mark("clusters materialize", _t0)
     unpersist = [surfaces0, s_keyed, s_sizes, s_embs]
     if edges_persisted:
         unpersist.append(edges)
