@@ -138,3 +138,37 @@ def test_local_pairs_parity_with_distributed(spark, e2e):
     for k in me_l:
         assert me_l[k] == me_d[k], (k, me_l[k], me_d[k])
     assert cl_l == cl_d
+
+
+def test_empty_norm_mentions_are_singletons(spark):
+    """Mentions whose normalized surface is empty (punctuation-only) must
+    come out as their own singleton clusters in BOTH regimes — the
+    projection's null-side fallback (round 5: single left-join pass)."""
+    from mix_blink_spark.functions.text import extract_text_str
+
+    html = b"<html><body>Acme Corp ... !!! ... Acme Corp</body></html>"
+    text = extract_text_str(html.decode())
+    spans_py = []
+    for i, (tok, mid) in enumerate(
+        [("Acme Corp", "m_a1"), ("!!!", "m_punct"), ("Acme Corp", "m_a2")]
+    ):
+        start = text.find(tok, 0 if i < 2 else text.find(tok) + 1)
+        spans_py.append(("u1", mid, start, start + len(tok)))
+    assert all(s[2] >= 0 for s in spans_py), (text, spans_py)
+
+    pages = spark.createDataFrame(
+        [("u1", bytearray(html), "en")], "url string, html binary, lang string"
+    )
+    spans = spark.createDataFrame(
+        spans_py, "url string, mention_id string, start int, end int"
+    )
+    ents = spark.createDataFrame(
+        [("e1", "Acme Corp", ["Acme Corporation"], "maker of anvils")],
+        "id string, name string, aliases array<string>, description string",
+    )
+    for limit in (50_000, 0):  # driver-local regime, then distributed
+        out = link(spark, pages, spans, ents, LinkConfig(driver_pairs_limit=limit))
+        cl = {r["member"]: r["cluster_id"] for r in out["clusters"].collect()}
+        assert cl["m_punct"] == "m_punct", (limit, cl)
+        assert cl["m_a1"] == cl["m_a2"], (limit, cl)
+        assert len(cl) == 3, (limit, cl)
