@@ -62,13 +62,59 @@ def _minhash_band_keys(s: str, bands: int, rows: int, shingle: int) -> list[str]
 
 @pandas_udf(ArrayType(StringType()))
 def minhash_band_keys(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """norm surface -> array of LSH band keys (Arrow-batched)."""
+    """norm surface -> array of LSH band keys (Arrow-batched).
+
+    Output is identical to mapping ``_minhash_band_keys`` per string; the
+    kernel memoizes the (bands x rows) blake2b digests PER SHINGLE across
+    the whole worker lifetime — surface vocabularies share shingles
+    heavily ('corp', ' the'), and the blake2b calls were the dominant
+    candidate-generation cost at vocabulary scale (round-5 profile: the
+    alias-side keyed_records carried ~8 s of a ~13 s generation stage at
+    17k aliases). The per-record min over the shingle matrix is numpy.
+    """
+    import numpy as np
+
+    B, R, SH = DEFAULT_BANDS, DEFAULT_ROWS, DEFAULT_SHINGLE
+    salts = [b"%d:%d" % (b, r) for b in range(B) for r in range(R)]
+    memo: dict[str, "np.ndarray"] = {}
+
+    def shingle_hashes(g: str) -> "np.ndarray":
+        v = memo.get(g)
+        if v is None:
+            enc = g.encode("utf-8")
+            v = np.array(
+                [
+                    int.from_bytes(
+                        blake2b(enc, digest_size=8, key=salt).digest(), "big"
+                    )
+                    for salt in salts
+                ],
+                dtype=np.uint64,
+            )
+            if len(memo) < 2_000_000:  # bound worker memory; ~100 MB max
+                memo[g] = v
+        return v
+
     for series in batches:
-        yield series.map(
-            lambda s: _minhash_band_keys(s, DEFAULT_BANDS, DEFAULT_ROWS, DEFAULT_SHINGLE)
-            if s
-            else []
-        )
+        out = []
+        for s in series:
+            if not s:
+                out.append([])
+                continue
+            padded = f" {s} "
+            grams = (
+                {padded[i : i + SH] for i in range(len(padded) - SH + 1)}
+                if len(padded) >= SH
+                else {padded}
+            )
+            mins = np.minimum.reduce([shingle_hashes(g) for g in grams])
+            out.append(
+                [
+                    f"mh{b}:" + "-".join(format(int(mins[b * R + r]), "x") for r in range(R))
+                    for b in range(B)
+                ]
+            )
+        yield pd.Series(out)
 
 
 def keyed_records(records: DataFrame, id_col: str, norm_col: str = "norm") -> DataFrame:
@@ -116,6 +162,7 @@ def candidate_pairs(
     max_block_size: int = 200,
     neighborhood: int = 8,
     sizes: DataFrame | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Self-join within each blocking key → deduped (a, b) candidate pairs.
 
@@ -134,6 +181,15 @@ def candidate_pairs(
     k = keyed.join(sizes, "key")
     # Degenerate keys (empty norm) never block.
     k = k.filter(F.length("norm") > 0).filter(F.col("block_n") > 1)
+    # diamond plan: the small a/b sides and the ranked x/y self-join each
+    # re-read k — persist so the size join runs once, not four times
+    # (``caches`` receives the handle for caller-side unpersist; see
+    # cross_family_pairs)
+    from pyspark import StorageLevel
+
+    k = k.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(k)
 
     small = k.filter(F.col("block_n") <= max_block_size)
     a = small.select("key", F.col("rid").alias("a"), F.col("norm").alias("norm_a"))
@@ -144,7 +200,11 @@ def candidate_pairs(
 
     big = k.filter(F.col("block_n") > max_block_size)
     win = Window.partitionBy("key").orderBy("norm", "rid")
-    ranked = big.select("key", "rid", "norm", F.row_number().over(win).alias("pos"))
+    ranked = big.select(
+        "key", "rid", "norm", F.row_number().over(win).alias("pos")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(ranked)
     big_pairs = (
         ranked.alias("x")
         .join(
@@ -177,6 +237,7 @@ def cross_family_pairs(
     neighborhood: int = 8,
     dedup: bool = True,
     left_sizes: DataFrame | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Mention/surface→entity candidate pairs: equi-join two keyed sets on
     blocking key. The entity side is dimension-sized → broadcast (no
@@ -211,7 +272,16 @@ def cross_family_pairs(
     dimension-sized right side contributes a tiny plain aggregation that
     broadcasts — instead of re-aggregating the full L+R union per run
     (round-4 profile: the combined histogram was ~half the candidate-
-    generation cost at 8k entities)."""
+    generation cost at 8k entities).
+
+    ``caches``: optional list that receives the persisted intermediate
+    frames of the guarded path (the sized union and its ranked window) so
+    the CALLER can unpersist them once the pairs are materialized. The
+    guarded plan is a diamond — small-L/small-R/big-L/big-R all read the
+    same sized union — and without a persist each branch re-executes the
+    union + size joins + window subtree (round-5 profile: 4× re-execution
+    was most of the candidate-generation cost at 8k entities). Passing no
+    list still persists; the caches then live until session cleanup."""
     # distinct BEFORE sizing/joining: one dictionary entry can carry
     # several alias surfaces that normalize to the SAME norm (name +
     # lowercased alias is the common case) — duplicate (key, b, norm_b)
@@ -230,6 +300,17 @@ def cross_family_pairs(
             right = F.broadcast(right)
         joined = left.join(right, "key")
         return joined.dropDuplicates(["a", "b", "norm_b"]) if dedup else joined
+
+    # guarded path only: the dimension side is read twice (the sized union
+    # + its per-key size histogram), and its upstream usually contains the
+    # minhash-key UDF — persist so the UDF and the distinct's shuffle run
+    # once (round-5 profile: ~2 s per re-execution at 17k aliases;
+    # dimension-scale rows, so the cache is small at any corpus size)
+    from pyspark import StorageLevel
+
+    right = right.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(right)
 
     combo = left.select(
         "key", F.col("a").alias("rid"), F.col("norm_a").alias("norm"),
@@ -257,6 +338,15 @@ def cross_family_pairs(
         .drop("_l_n", "_r_n")
         .filter(F.length("norm") > 0)
     )
+    # the four branches below all read k (and the big ones its window):
+    # persist so the union+size-join subtree runs once, not four times.
+    # Rows are (key, rid, norm, side, block_n) — ~100 B each, |L|+|R|
+    # rows total, disk-spillable; the caller unpersists via ``caches``.
+    from pyspark import StorageLevel
+
+    k = k.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(k)
 
     small = k.filter(F.col("block_n") <= max_block_size)
     small_l = small.filter(F.col("side") == "L").select(
@@ -283,7 +373,9 @@ def cross_family_pairs(
     ranked = big.withColumn(
         "rpos",
         F.sum(F.when(F.col("side") == "R", 1).otherwise(0)).over(w_ord),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(ranked)
     big_l = ranked.filter(F.col("side") == "L").select(
         "key", F.col("rid").alias("a"), F.col("norm").alias("norm_a"), "rpos"
     )

@@ -399,6 +399,9 @@ def link(
     # pair rows computed driver-side (use_local regime) are stashed here so
     # the edges/CC steps below can reuse them without a Spark round trip
     _local: dict[str, list] = {}
+    # intermediate caches opened by blocking operators (diamond-plan
+    # persists); unpersisted with the pipeline's own caches below
+    _op_caches: list = []
 
     def mm_pairs():
         if use_local:
@@ -410,7 +413,10 @@ def link(
             )
             _local["mm"] = rows
             return spark.createDataFrame(rows, _PAIRS_SCHEMA)
-        p = candidate_pairs(s_keyed, cfg.max_block_size, cfg.neighborhood, sizes=s_sizes)
+        p = candidate_pairs(
+            s_keyed, cfg.max_block_size, cfg.neighborhood, sizes=s_sizes,
+            caches=_op_caches,
+        )
         if use_bc:
             dense_udf = make_broadcast_dense_udf(cfg.measure, bc_s, bc_s)
             p = p.withColumn("dense", dense_udf(F.col("a"), F.col("b")))
@@ -449,6 +455,7 @@ def link(
             neighborhood=cfg.neighborhood,
             dedup=False,
             left_sizes=s_sizes,
+            caches=_op_caches,
         )
         if use_bc:
             a_ids = {f"{r}\x00{nm}": i for i, (r, nm) in enumerate(a_rows)}
@@ -615,7 +622,7 @@ def link(
         _t0 = _time.monotonic()
         clusters.count()
         mark("clusters materialize", _t0)
-    unpersist = [surfaces0, s_keyed, s_sizes, s_embs]
+    unpersist = [surfaces0, s_keyed, s_sizes, s_embs, *_op_caches]
     if edges_persisted:
         unpersist.append(edges)
     if verbose and store is None:

@@ -54,7 +54,14 @@ def main() -> None:
 
     corpus = spark.read.parquet(os.path.join(path, "corpus"))
     ents = spark.read.parquet(os.path.join(path, "entities"))
-    pages = corpus.select("url", "warc_ts", "html", "lang")
+    # round 5: the mmap+arrow python-direct reader is the bench default at
+    # every core count — this evidence leg uses the same scan so the
+    # vocabulary-regime numbers reflect the plan a user actually gets
+    from mix_blink_spark.sources.pages import read_pages_extracted_python
+
+    pages = read_pages_extracted_python(
+        spark, os.path.join(path, "corpus"), columns=("url", "lang")
+    )
     spans = corpus.select("url", F.explode("mentions").alias("m")).select(
         "url", "m.mention_id", "m.start", "m.end"
     )
