@@ -465,10 +465,23 @@ import os as _os
 # default is PER-PROCESS (pid-suffixed): two concurrent gate runs with
 # default env can never clobber each other's handoff parquet (round-4
 # verdict item 3). queries() and oracle_sql() are imported by the same
-# driver process, so both sides still resolve the identical value.
+# driver process, so both sides resolve the identical value. The default
+# dir is removed at process exit (below, round-5 ADVICE): stale
+# /tmp/mbs-oracle-er-<pid> dirs no longer accumulate across runs, and if
+# queries() and oracle_sql() were ever evaluated in DIFFERENT processes
+# the oracle fails loudly on a missing path (DuckDB "No files found ...
+# mbs-oracle-er-<pid>") instead of silently reading a previous run's
+# clusters. An explicit SPARK_GRAFT_ER_ORACLE_DIR is the caller's to
+# manage and is left in place.
 ER_ORACLE_DIR = _os.environ.get(
     "SPARK_GRAFT_ER_ORACLE_DIR", f"/tmp/mbs-oracle-er-{_os.getpid()}"
 )
+
+if "SPARK_GRAFT_ER_ORACLE_DIR" not in _os.environ:
+    import atexit as _atexit
+    import shutil as _shutil
+
+    _atexit.register(_shutil.rmtree, ER_ORACLE_DIR, ignore_errors=True)
 
 
 def q_er_link_clusters(spark: SparkSession, sf: str) -> DataFrame:

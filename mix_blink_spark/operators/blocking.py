@@ -77,8 +77,18 @@ def minhash_band_keys(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     B, R, SH = DEFAULT_BANDS, DEFAULT_ROWS, DEFAULT_SHINGLE
     salts = [b"%d:%d" % (b, r) for b in range(B) for r in range(R)]
     memo: dict[str, "np.ndarray"] = {}
+    # Bound worker memory by MEASURED bytes, not entry count (round-5
+    # verdict item 7: at 8 salts an entry is ~64 B of uint64 data plus
+    # ~250-300 B of ndarray/dict/key overhead — a 2M-entry count cap was
+    # ~0.5-0.7 GB per Python worker, not the 100 MB the old comment
+    # claimed). 128 MB ≈ 350-400k distinct shingles — far above any real
+    # surface vocabulary's shingle count; past the cap new shingles are
+    # hashed uncached.
+    memo_budget = 128 * 1024 * 1024
+    memo_bytes = 0
 
     def shingle_hashes(g: str) -> "np.ndarray":
+        nonlocal memo_bytes
         v = memo.get(g)
         if v is None:
             enc = g.encode("utf-8")
@@ -91,8 +101,10 @@ def minhash_band_keys(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
                 ],
                 dtype=np.uint64,
             )
-            if len(memo) < 2_000_000:  # bound worker memory; ~100 MB max
+            if memo_bytes < memo_budget:
                 memo[g] = v
+                # ndarray data + ndarray object + dict slot + key string
+                memo_bytes += v.nbytes + 112 + 104 + (49 + len(enc))
         return v
 
     for series in batches:
@@ -182,13 +194,15 @@ def candidate_pairs(
     # Degenerate keys (empty norm) never block.
     k = k.filter(F.length("norm") > 0).filter(F.col("block_n") > 1)
     # diamond plan: the small a/b sides and the ranked x/y self-join each
-    # re-read k — persist so the size join runs once, not four times
-    # (``caches`` receives the handle for caller-side unpersist; see
-    # cross_family_pairs)
+    # re-read k — persist so the size join runs once, not four times.
+    # Persist ONLY when the caller supplies a ``caches`` list to unpersist
+    # through (the pipeline does); a direct caller with caches=None gets
+    # the unpersisted plan rather than a cache that leaks for the session
+    # lifetime (round-5 ADVICE).
     from pyspark import StorageLevel
 
-    k = k.persist(StorageLevel.MEMORY_AND_DISK)
     if caches is not None:
+        k = k.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(k)
 
     small = k.filter(F.col("block_n") <= max_block_size)
@@ -202,8 +216,9 @@ def candidate_pairs(
     win = Window.partitionBy("key").orderBy("norm", "rid")
     ranked = big.select(
         "key", "rid", "norm", F.row_number().over(win).alias("pos")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if caches is not None:
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(ranked)
     big_pairs = (
         ranked.alias("x")
@@ -281,7 +296,9 @@ def cross_family_pairs(
     same sized union — and without a persist each branch re-executes the
     union + size joins + window subtree (round-5 profile: 4× re-execution
     was most of the candidate-generation cost at 8k entities). Passing no
-    list still persists; the caches then live until session cleanup."""
+    list skips the persists entirely (round-5 ADVICE: a cache nobody can
+    unpersist leaks executor storage for the session lifetime), at the
+    cost of re-executing the diamond's shared subtree per branch."""
     # distinct BEFORE sizing/joining: one dictionary entry can carry
     # several alias surfaces that normalize to the SAME norm (name +
     # lowercased alias is the common case) — duplicate (key, b, norm_b)
@@ -305,11 +322,12 @@ def cross_family_pairs(
     # + its per-key size histogram), and its upstream usually contains the
     # minhash-key UDF — persist so the UDF and the distinct's shuffle run
     # once (round-5 profile: ~2 s per re-execution at 17k aliases;
-    # dimension-scale rows, so the cache is small at any corpus size)
+    # dimension-scale rows, so the cache is small at any corpus size).
+    # All guarded-path persists are caches-gated (round-5 ADVICE).
     from pyspark import StorageLevel
 
-    right = right.persist(StorageLevel.MEMORY_AND_DISK)
     if caches is not None:
+        right = right.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(right)
 
     combo = left.select(
@@ -342,10 +360,8 @@ def cross_family_pairs(
     # persist so the union+size-join subtree runs once, not four times.
     # Rows are (key, rid, norm, side, block_n) — ~100 B each, |L|+|R|
     # rows total, disk-spillable; the caller unpersists via ``caches``.
-    from pyspark import StorageLevel
-
-    k = k.persist(StorageLevel.MEMORY_AND_DISK)
     if caches is not None:
+        k = k.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(k)
 
     small = k.filter(F.col("block_n") <= max_block_size)
@@ -373,8 +389,9 @@ def cross_family_pairs(
     ranked = big.withColumn(
         "rpos",
         F.sum(F.when(F.col("side") == "R", 1).otherwise(0)).over(w_ord),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if caches is not None:
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(ranked)
     big_l = ranked.filter(F.col("side") == "L").select(
         "key", F.col("rid").alias("a"), F.col("norm").alias("norm_a"), "rpos"

@@ -176,3 +176,137 @@ def score_pairs(
     return out.withColumn(
         "score", F.lit(dense_weight) * dense_sim + F.lit(1.0 - dense_weight) * lex
     )
+
+
+def fused_me_top1(
+    pairs: DataFrame,
+    measure: str,
+    dense_weight: float,
+    tau_ent: float,
+    bc_a,
+    bc_b,
+) -> DataFrame:
+    """Score surface→entity candidate pairs AND reduce to the top-1 entity
+    per surface inside one Arrow stage — a map-side combine for what was a
+    corpus-wide window (round-5 verdict item 3: the window shuffled every
+    scored candidate row, ~1.2M at 8k entities, to rank them and keep one
+    per surface).
+
+    Input columns: ``a, b, norm_a, norm_b, lev`` (Levenshtein arrives
+    precomputed from the JVM ``levenshtein_sim`` column — codegen beats a
+    Python edit-distance). Each task scores its candidate partition with
+    the broadcast embedding matrices (``bc_a``/``bc_b`` as in
+    ``make_broadcast_dense_udf``; the b-side key is ``b + "\\x00" +
+    norm_b``) plus the numpy Jaro-Winkler kernel, applies the ``tau_ent``
+    threshold, and keeps ONE best row per surface seen in the partition.
+    Only those per-partition winners — O(|surfaces|) rows, never
+    O(|candidates|) — cross the final exchange, where the same order picks
+    the global winner.
+
+    Correctness: the ranking order (score desc, b asc, norm_b asc) is
+    TOTAL, so max over it is associative — per-partition argmax then
+    global argmax equals the single global window, bit for bit (asserted
+    against the driver-local mirror by the regime-parity e2e test). The
+    tau filter commutes with argmax because score is the primary sort
+    key: the global winner carries the max score, so it survives the
+    filter iff any candidate does. Duplicate (a, b, norm_b) candidate
+    rows (the generator runs dedup=False) score identically and collapse
+    in the argmax.
+
+    Score arithmetic matches ``score_pairs`` exactly: float64
+    ``w·dense_sim + (1-w)·max(jw, lev)`` with the same l2→similarity
+    mapping — IEEE-identical to the column expression it replaces.
+    """
+    check_measure(measure)
+    from ..functions.strsim import jaro_winkler_np
+    from pyspark.sql.window import Window
+
+    w_d = float(dense_weight)
+    out_schema = (
+        "a string, b string, norm_b string, dense double, jw double, "
+        "lev double, score double"
+    )
+    CHUNK = 8192
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_a, mat_a = bc_a.value
+        ids_b, mat_b = bc_b.value
+
+        def top1(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(
+                ["a", "score", "b", "norm_b"],
+                ascending=[True, False, True, True],
+                kind="mergesort",
+            )
+            return df.drop_duplicates("a", keep="first")
+
+        def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            ia = pdf["a"].map(ids_a).to_numpy(dtype=np.int64)
+            ib = pdf["bkey"].map(ids_b).to_numpy(dtype=np.int64)
+            dense = _dense_np(
+                mat_a[ia].astype(np.float64), mat_b[ib].astype(np.float64), measure
+            )
+            jw = jaro_winkler_np(pdf["norm_a"].tolist(), pdf["norm_b"].tolist())
+            lev = pdf["lev"].to_numpy(dtype=np.float64)
+            dense_sim = 1.0 / (1.0 + dense) if measure == "l2" else dense
+            score = w_d * dense_sim + (1.0 - w_d) * np.maximum(jw, lev)
+            out = pd.DataFrame(
+                {
+                    "a": pdf["a"].to_numpy(),
+                    "b": pdf["b"].to_numpy(),
+                    "norm_b": pdf["norm_b"].to_numpy(),
+                    "dense": dense,
+                    "jw": jw,
+                    "lev": lev,
+                    "score": score,
+                }
+            )
+            return top1(out[out["score"] >= tau_ent])
+
+        best: pd.DataFrame | None = None
+        buf: list[pd.DataFrame] = []
+        size = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buf.append(pdf)
+            size += len(pdf)
+            if size >= CHUNK:
+                got = score_chunk(
+                    pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+                )
+                best = got if best is None else top1(
+                    pd.concat([best, got], ignore_index=True)
+                )
+                buf, size = [], 0
+        if size:
+            got = score_chunk(
+                pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            )
+            best = got if best is None else top1(
+                pd.concat([best, got], ignore_index=True)
+            )
+        if best is not None and len(best):
+            yield best
+
+    # the b-side lookup key (b + NUL + norm_b) is built JVM-side: pandas
+    # string concat (both ``+`` and ``str.cat``) silently DROPS embedded
+    # NUL bytes (pandas 2.2), which would miss every dict entry —
+    # concat_ws preserves them through Arrow, as the broadcast-dense UDF
+    # path always relied on
+    winners = pairs.select(
+        "a",
+        "b",
+        "norm_a",
+        "norm_b",
+        "lev",
+        F.concat_ws("\x00", F.col("b"), F.col("norm_b")).alias("bkey"),
+    ).mapInPandas(part, schema=out_schema)
+    w = Window.partitionBy("a").orderBy(
+        F.col("score").desc(), F.col("b"), F.col("norm_b")
+    )
+    return (
+        winners.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("a", "b", "dense", "jw", "lev", "score")
+    )

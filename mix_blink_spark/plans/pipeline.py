@@ -50,7 +50,12 @@ from ..operators.blocking import (
     keyed_records,
 )
 from ..operators.cc import connected_components
-from ..operators.scoring import check_measure, make_broadcast_dense_udf, score_pairs
+from ..operators.scoring import (
+    check_measure,
+    fused_me_top1,
+    make_broadcast_dense_udf,
+    score_pairs,
+)
 from ..sources.dictionary import explode_surfaces, with_nil
 from ..sources.pages import mentions_from_spans, with_extracted_text
 from .resume import StageStore
@@ -144,7 +149,7 @@ def _attach_embs(pairs: DataFrame, embs_a: DataFrame, embs_b: DataFrame) -> Data
 
 
 def build_mentions(
-    pages: DataFrame,
+    pages: DataFrame | str,
     spans: DataFrame,
     from_html: bool = True,
     jvm_extract: bool = False,
@@ -154,7 +159,32 @@ def build_mentions(
     """Extract text from ``html`` (the byte-stable kernel — the pipeline's
     own text, never trusting a pre-extracted column) and slice mention
     surfaces. ``html`` is pruned immediately after extraction.
-    ``io_slots``: see LinkConfig.io_slots."""
+    ``io_slots``: see LinkConfig.io_slots.
+
+    ``pages`` may be a parquet PATH instead of a DataFrame: the scan then
+    uses the python-direct row-group reader
+    (``sources.pages.read_pages_extracted_python`` — mmap parquet decode +
+    extraction inside the Python worker, html never crossing the
+    JVM↔Python socket), the fastest measured plan at every parallelism
+    level on parquet-backed pages (round 5: ~2.2× the standard scan
+    single-core). Byte-identical text output (parity-gated); the
+    DataFrame form remains the plan for non-parquet sources (Iceberg,
+    streams, in-memory tests)."""
+    if isinstance(pages, str):
+        if jvm_extract:
+            raise ValueError(
+                "jvm_extract=True is the JVM DataFrame plan; a parquet-path "
+                "pages input selects the python-direct reader — pass a "
+                "DataFrame instead"
+            )
+        from ..sources.pages import read_pages_extracted_python
+
+        pages = read_pages_extracted_python(
+            spans.sparkSession, pages, columns=("url", "lang")
+        )
+        if io_slots is not None:
+            pages = pages.coalesce(io_slots)
+        return mentions_from_spans(pages, spans, broadcast_spans=broadcast_spans)
     if from_html and "html" in pages.columns:
         if io_slots is not None:
             pages = pages.coalesce(io_slots)
@@ -174,7 +204,7 @@ def build_mentions(
 
 def link(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | str,
     spans: DataFrame,
     entities: DataFrame,
     cfg: LinkConfig | None = None,
@@ -183,6 +213,11 @@ def link(
     timings: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline. With a ``store``, every stage is resumable.
+
+    ``pages`` may be a parquet path (string) — the scan then uses the
+    python-direct row-group reader, the fastest measured plan on
+    parquet-backed pages at every parallelism level (see
+    ``build_mentions``). Pass a DataFrame for every other source.
 
     Returns dict with: mentions, pairs_mm, pairs_me, edges, clusters.
     cluster ids: min member id (entity anchors sort first via ENT:: prefix
@@ -460,12 +495,17 @@ def link(
         if use_bc:
             a_ids = {f"{r}\x00{nm}": i for i, (r, nm) in enumerate(a_rows)}
             bc_e = spark.sparkContext.broadcast((a_ids, a_mat))
-            dense_udf = make_broadcast_dense_udf(cfg.measure, bc_s, bc_e)
-            p = p.withColumn(
-                "dense",
-                dense_udf(F.col("a"), F.concat_ws("\x00", F.col("b"), F.col("norm_b"))),
+            # fused score + top-1-per-surface (round-5 verdict item 3):
+            # Levenshtein stays a JVM codegen column; dense + JW + the
+            # per-partition argmax run in ONE Arrow stage, so only each
+            # partition's per-surface winners — not every scored
+            # candidate — reach the final ranking exchange
+            from ..functions.strsim import levenshtein_sim
+
+            p = p.withColumn("lev", levenshtein_sim(F.col("norm_a"), F.col("norm_b")))
+            return fused_me_top1(
+                p, cfg.measure, cfg.dense_weight, cfg.tau_ent, bc_s, bc_e
             )
-            scored = score_pairs(p, cfg.measure, cfg.dense_weight, dense_col="dense")
         else:
             if store_idx is not None:
                 # vocabulary-scale reuse: the stored index stays a

@@ -76,7 +76,15 @@ def mentions_from_spans(
     surface = F.expr("substring(text, start + 1, end - start)")
     ctx_lo = F.greatest(F.col("start") - F.lit(60), F.lit(0))
     context = F.expr("substring(text, greatest(start - 60, 0) + 1, (end - start) + 120)")
-    norm = normalize_surface(surface)
+    # NULL-norm rows (NULL start/end or NULL page text make the substring
+    # NULL) are folded into the empty-norm contract here, at the source:
+    # downstream (blocking's length>0 filters, the cluster projection's
+    # null-side fallback) then has exactly ONE degenerate case — empty
+    # string — and such mentions come out as singleton clusters
+    # (round-5 ADVICE: the single left-join projection made NULL-norm
+    # mentions singletons instead of silently dropping them; this pins
+    # that contract).
+    norm = F.coalesce(normalize_surface(surface), F.lit(""))
     return m.select(
         "url",
         "mention_id",

@@ -141,9 +141,11 @@ def test_local_pairs_parity_with_distributed(spark, e2e):
 
 
 def test_empty_norm_mentions_are_singletons(spark):
-    """Mentions whose normalized surface is empty (punctuation-only) must
-    come out as their own singleton clusters in BOTH regimes — the
-    projection's null-side fallback (round 5: single left-join pass)."""
+    """Mentions whose normalized surface is empty (punctuation-only) OR
+    NULL (a NULL span offset makes the substring NULL) must come out as
+    their own singleton clusters in BOTH regimes — the projection's
+    null-side fallback (round 5: single left-join pass) plus the
+    NULL→'' fold in mentions_from_spans (round-5 ADVICE)."""
     from mix_blink_spark.functions.text import extract_text_str
 
     html = b"<html><body>Acme Corp ... !!! ... Acme Corp</body></html>"
@@ -155,6 +157,7 @@ def test_empty_norm_mentions_are_singletons(spark):
         start = text.find(tok, 0 if i < 2 else text.find(tok) + 1)
         spans_py.append(("u1", mid, start, start + len(tok)))
     assert all(s[2] >= 0 for s in spans_py), (text, spans_py)
+    spans_py.append(("u1", "m_null", 0, None))  # NULL end -> NULL surface/norm
 
     pages = spark.createDataFrame(
         [("u1", bytearray(html), "en")], "url string, html binary, lang string"
@@ -170,5 +173,29 @@ def test_empty_norm_mentions_are_singletons(spark):
         out = link(spark, pages, spans, ents, LinkConfig(driver_pairs_limit=limit))
         cl = {r["member"]: r["cluster_id"] for r in out["clusters"].collect()}
         assert cl["m_punct"] == "m_punct", (limit, cl)
+        assert cl["m_null"] == "m_null", (limit, cl)
         assert cl["m_a1"] == cl["m_a2"], (limit, cl)
-        assert len(cl) == 3, (limit, cl)
+        assert len(cl) == 4, (limit, cl)
+
+
+def test_link_parquet_path_parity(spark, tmp_path):
+    """link() accepts a parquet PATH for pages (the python-direct scan —
+    the fast plan every parquet-backed caller should get without reading
+    bench.py) and produces exactly the DataFrame plan's clusters."""
+    from mix_blink_spark.fixtures import corpus_dfs
+
+    pages, ents, golds, _ = corpus_dfs(spark, seed=5, n_pages=250, n_entities=20)
+    spans = golds.select("url", "mention_id", "start", "end")
+    pq_dir = str(tmp_path / "pages_pq")
+    pages.write.mode("overwrite").parquet(pq_dir)
+
+    out_df = link(spark, pages, spans, ents, LinkConfig())
+    out_path = link(spark, pq_dir, spans, ents, LinkConfig())
+    cl_df = {(r["member"], r["cluster_id"]) for r in out_df["clusters"].collect()}
+    cl_path = {(r["member"], r["cluster_id"]) for r in out_path["clusters"].collect()}
+    assert cl_df == cl_path and len(cl_df) > 0
+
+    # jvm_extract is the JVM plan; combining it with a path input is a
+    # contradiction and must refuse, not silently fall back
+    with pytest.raises(ValueError, match="python-direct"):
+        link(spark, pq_dir, spans, ents, LinkConfig(jvm_extract=True))
