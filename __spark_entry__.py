@@ -333,6 +333,19 @@ def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_signatures(d, bands=2, rows=2, n=3)
 
 
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded LSH candidate pairs — docs sharing any (band, sig) bucket
+    (the bucket equi-join itself, driver-gated per round-5 verdict item 6;
+    the signatures feeding it are gated separately)."""
+    from mix_blink_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    # bands=2/rows=1/bigram shingles: loose enough that the bucket join
+    # actually fires on this corpus slice (216 pairs at sf0.01 — a
+    # tighter setting returns zero rows and gates nothing)
+    return minhash_lsh_pairs(d, bands=2, rows=1, n=2)
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from mix_blink_spark.operators.dedup import simhash
 
@@ -668,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_decisions": q_dedup_decisions,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "text_stats": q_text_stats,
@@ -1073,6 +1087,29 @@ def oracle_sql() -> dict[str, str]:
               FROM expanded GROUP BY 1, 2, 3)
             SELECT id, band, string_agg(mh, '-' ORDER BY rw) AS sig
             FROM row_min GROUP BY 1, 2
+        """,
+        "minhash_lsh_pairs": """
+            WITH toks AS (SELECT CAST(doc_id AS VARCHAR) id,
+                                 string_split(lower(text), ' ') AS l
+                          FROM documents WHERE doc_id < 100),
+            sh AS (SELECT DISTINCT id,
+                          array_to_string(l[i:i+1], ' ') AS shingle
+                   FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l) - 1, 1))) AS i)
+                   WHERE length(array_to_string(l[i:i+1], ' ')) > 0),
+            expanded AS (
+              SELECT id, shingle, band, rw
+              FROM sh,
+                   LATERAL (SELECT unnest([0,1]) AS band),
+                   LATERAL (SELECT unnest([0]) AS rw)),
+            row_min AS (
+              SELECT id, band, rw,
+                     min(md5(band || ':' || rw || ':' || shingle)) AS mh
+              FROM expanded GROUP BY 1, 2, 3),
+            sig AS (SELECT id, band, string_agg(mh, '-' ORDER BY rw) AS sig
+                    FROM row_min GROUP BY 1, 2)
+            SELECT DISTINCT x.id AS a, y.id AS b
+            FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
+            WHERE x.id < y.id
         """,
         "simhash": """
             WITH tok AS (SELECT CAST(doc_id AS VARCHAR) id,

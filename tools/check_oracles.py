@@ -1,5 +1,5 @@
 """Local replica of the driver correctness gate: run every queries() entry
-on Spark and its oracle_sql() on DuckDB at sf=0.01 (33 queries); compare row count,
+on Spark and its oracle_sql() on DuckDB at sf=0.01 (34 queries); compare row count,
 column names, and an order-insensitive value hash.
 
 Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
