@@ -218,6 +218,8 @@ def fused_me_top1(
     mapping — IEEE-identical to the column expression it replaces.
     """
     check_measure(measure)
+    import pyarrow as pa
+
     from ..functions.strsim import jaro_winkler_np
     from pyspark.sql.window import Window
 
@@ -226,21 +228,51 @@ def fused_me_top1(
         "a string, b string, norm_b string, dense double, jw double, "
         "lev double, score double"
     )
+    out_pa = pa.schema(
+        [
+            ("a", pa.string()),
+            ("b", pa.string()),
+            ("norm_b", pa.string()),
+            ("dense", pa.float64()),
+            ("jw", pa.float64()),
+            ("lev", pa.float64()),
+            ("score", pa.float64()),
+        ]
+    )
     CHUNK = 8192
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow, not mapInPandas: the session's Arrow batch cap is sized
+    # for multi-KB html cells (128 rows), and per-batch pandas DataFrame
+    # construction at that granularity cost MORE than the shuffle the
+    # fusion removes (measured: ~9.3k tiny frames for 1.2M candidates).
+    # RecordBatches concatenate zero-copy; ONE to_pandas per CHUNK rows.
+    def part(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         ids_a, mat_a = bc_a.value
         ids_b, mat_b = bc_b.value
 
         def top1(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values(
-                ["a", "score", "b", "norm_b"],
-                ascending=[True, False, True, True],
-                kind="mergesort",
-            )
+            # numeric group-max first (hash groupby, C speed), THEN the
+            # lexicographic (b, norm_b) tie-break on only the rows tied at
+            # their group's max — a full multi-key string sort of every
+            # scored row costs more than the shuffle the fusion removes
+            gmax = df.groupby("a", sort=False)["score"].transform("max")
+            df = df[df["score"] == gmax]
+            df = df.sort_values(["a", "b", "norm_b"], kind="mergesort")
             return df.drop_duplicates("a", keep="first")
 
         def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            # local dedup before the kernels: the generator runs
+            # dedup=False (a global dropDuplicates is a full shuffle),
+            # so identical (a, b, norm_b) rows reach scoring — dropping
+            # them HERE costs a hash pass, no shuffle, and cuts the JW
+            # volume (the dominant kernel cost) by the duplicate fraction.
+            # NEVER dedup/groupby on ``bkey``: pandas' string hashtable
+            # (factorize / multi-key duplicated / groupby) hashes
+            # C-strings and TRUNCATES at the embedded NUL, silently
+            # collapsing distinct aliases ('boreali stechnologies' vs
+            # 'borealis technologies' share every byte around the NUL).
+            # The NUL-free (a, b, norm_b) triple is the same identity.
+            pdf = pdf.drop_duplicates(["a", "b", "norm_b"])
             ia = pdf["a"].map(ids_a).to_numpy(dtype=np.int64)
             ib = pdf["bkey"].map(ids_b).to_numpy(dtype=np.int64)
             dense = _dense_np(
@@ -263,31 +295,42 @@ def fused_me_top1(
             )
             return top1(out[out["score"] >= tau_ent])
 
-        best: pd.DataFrame | None = None
-        buf: list[pd.DataFrame] = []
+        # per-chunk winners ACCUMULATE and reduce once at partition end
+        # (plus a size-capped intermediate drain): merging the running
+        # best-set on every chunk is O(chunks x |winners|) — measured
+        # slower than the window shuffle this fusion removes
+        acc: list[pd.DataFrame] = []
+        acc_n = 0
+        buf: list["pa.RecordBatch"] = []
         size = 0
-        for pdf in batches:
-            if not len(pdf):
+
+        def drain() -> None:
+            nonlocal acc, acc_n
+            if len(acc) > 1:
+                acc = [top1(pd.concat(acc, ignore_index=True))]
+                acc_n = len(acc[0])
+
+        def flush() -> pd.DataFrame:
+            return pa.Table.from_batches(buf).to_pandas()
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            buf.append(pdf)
-            size += len(pdf)
+            buf.append(rb)
+            size += rb.num_rows
             if size >= CHUNK:
-                got = score_chunk(
-                    pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-                )
-                best = got if best is None else top1(
-                    pd.concat([best, got], ignore_index=True)
-                )
+                acc.append(score_chunk(flush()))
+                acc_n += len(acc[-1])
                 buf, size = [], 0
+                if acc_n >= 200_000:
+                    drain()
         if size:
-            got = score_chunk(
-                pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            acc.append(score_chunk(flush()))
+        drain()
+        if acc and len(acc[0]):
+            yield pa.RecordBatch.from_pandas(
+                acc[0].reset_index(drop=True), schema=out_pa, preserve_index=False
             )
-            best = got if best is None else top1(
-                pd.concat([best, got], ignore_index=True)
-            )
-        if best is not None and len(best):
-            yield best
 
     # the b-side lookup key (b + NUL + norm_b) is built JVM-side: pandas
     # string concat (both ``+`` and ``str.cat``) silently DROPS embedded
@@ -301,7 +344,7 @@ def fused_me_top1(
         "norm_b",
         "lev",
         F.concat_ws("\x00", F.col("b"), F.col("norm_b")).alias("bkey"),
-    ).mapInPandas(part, schema=out_schema)
+    ).mapInArrow(part, schema=out_schema)
     w = Window.partitionBy("a").orderBy(
         F.col("score").desc(), F.col("b"), F.col("norm_b")
     )

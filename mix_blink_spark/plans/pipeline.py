@@ -36,6 +36,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -495,17 +496,28 @@ def link(
         if use_bc:
             a_ids = {f"{r}\x00{nm}": i for i, (r, nm) in enumerate(a_rows)}
             bc_e = spark.sparkContext.broadcast((a_ids, a_mat))
-            # fused score + top-1-per-surface (round-5 verdict item 3):
-            # Levenshtein stays a JVM codegen column; dense + JW + the
-            # per-partition argmax run in ONE Arrow stage, so only each
-            # partition's per-surface winners — not every scored
-            # candidate — reach the final ranking exchange
-            from ..functions.strsim import levenshtein_sim
+            if _os.environ.get("MBS_ME_PLAN", "fused") != "window":
+                # fused score + top-1-per-surface (round-5 verdict item
+                # 3): Levenshtein stays a JVM codegen column; dense + JW
+                # + the per-partition argmax run in ONE Arrow stage, so
+                # only each partition's per-surface winners — not every
+                # scored candidate — reach the final ranking exchange.
+                # MBS_ME_PLAN=window keeps the pre-fusion plan for A/B
+                # attribution only (bit-identical output, parity-gated).
+                from ..functions.strsim import levenshtein_sim
 
-            p = p.withColumn("lev", levenshtein_sim(F.col("norm_a"), F.col("norm_b")))
-            return fused_me_top1(
-                p, cfg.measure, cfg.dense_weight, cfg.tau_ent, bc_s, bc_e
+                p = p.withColumn(
+                    "lev", levenshtein_sim(F.col("norm_a"), F.col("norm_b"))
+                )
+                return fused_me_top1(
+                    p, cfg.measure, cfg.dense_weight, cfg.tau_ent, bc_s, bc_e
+                )
+            dense_udf = make_broadcast_dense_udf(cfg.measure, bc_s, bc_e)
+            p = p.withColumn(
+                "dense",
+                dense_udf(F.col("a"), F.concat_ws("\x00", F.col("b"), F.col("norm_b"))),
             )
+            scored = score_pairs(p, cfg.measure, cfg.dense_weight, dense_col="dense")
         else:
             if store_idx is not None:
                 # vocabulary-scale reuse: the stored index stays a

@@ -93,3 +93,71 @@ def test_hard_negatives_never_contain_golds(spark, small_index):
     # re-ranked 1..k dense
     ranks = [r["rank"] for r in negs.filter(F.col("rid") == "q1").orderBy("rank").collect()]
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_fused_me_top1_distinguishes_nul_colliding_aliases(spark):
+    """Regression: pandas' string hashtable (factorize / multi-key
+    drop_duplicates / groupby) hashes C-strings and truncates at an
+    embedded NUL — two aliases like 'boreali stechnologies' vs
+    'borealis technologies', whose fused b+NUL+norm_b keys share every
+    byte around the NUL position, silently collapsed to one candidate
+    inside the fused scorer's local dedup. Both must be scored and the
+    argmax must match the unfused window plan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.functions.embed import encode_matrix
+    from mix_blink_spark.functions.strsim import levenshtein_sim
+    from mix_blink_spark.operators.scoring import (
+        fused_me_top1,
+        make_broadcast_dense_udf,
+        score_pairs,
+    )
+
+    surf = "boreali stechnologies"  # the mention-side norm
+    aliases = [
+        # the colliding non-exact alias comes FIRST: a NUL-truncating
+        # dedup keeps the first occurrence, so the exact alias (which
+        # must win) is the one that would be dropped
+        ("ENT::E1", "borealis technologies"),
+        ("ENT::E1", "boreali stechnologies"),  # exact -> must win
+        ("ENT::E2", "borealis technologies"),
+    ]
+    s_ids = {"NORM::s1": 0}
+    s_mat = encode_matrix([surf]).astype(np.float32)
+    a_ids = {f"{r}\x00{nm}": i for i, (r, nm) in enumerate(aliases)}
+    a_mat = encode_matrix([nm for _, nm in aliases]).astype(np.float32)
+    bc_s = spark.sparkContext.broadcast((s_ids, s_mat))
+    bc_e = spark.sparkContext.broadcast((a_ids, a_mat))
+
+    pairs = (
+        spark.createDataFrame(
+            [("NORM::s1", r, surf, nm) for r, nm in aliases],
+            "a string, b string, norm_a string, norm_b string",
+        )
+        # ONE partition: the local dedup only sees rows that share a
+        # partition, and a 3-row default-parallelism frame scatters them
+        .coalesce(1)
+        .withColumn("lev", levenshtein_sim(F.col("norm_a"), F.col("norm_b")))
+    )
+
+    fused = fused_me_top1(pairs, "cos", 0.5, 0.0, bc_s, bc_e).collect()
+
+    dense_udf = make_broadcast_dense_udf("cos", bc_s, bc_e)
+    scored = score_pairs(
+        pairs.withColumn(
+            "dense",
+            dense_udf(F.col("a"), F.concat_ws("\x00", F.col("b"), F.col("norm_b"))),
+        ),
+        "cos",
+        0.5,
+        dense_col="dense",
+    ).collect()
+    best = max(scored, key=lambda r: (r["score"], [-ord(c) for c in r["b"]]))
+
+    assert len(fused) == 1
+    w = fused[0]
+    assert (w["b"], w["score"]) == (best["b"], best["score"])
+    # the exact alias scores jw=1.0; if the NUL-colliding dedup dropped it
+    # the winner's jw would be < 1
+    assert w["jw"] == 1.0
