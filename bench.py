@@ -116,11 +116,15 @@ def _session(cpus: int, mode: str = "local"):
     }
     if mode == "cluster":
         n_exec = max(1, cpus // 4)
-        master = f"local-cluster[{n_exec},4,9216]"
+        # worker/executor memory env-overridable (MB): the round-6
+        # executor-shape forensics vary it to separate "8 JVM heaps evict
+        # the page cache the mmap scan depends on" from a bandwidth wall
+        wmem = int(os.environ.get("SPARK_GRAFT_EXEC_MB", "9216"))
+        master = f"local-cluster[{n_exec},4,{wmem}]"
         extra["spark.driver.memory"] = "8g"
         # the master-string memory is the WORKER budget; size the executor
         # JVM itself too (defaults to 1g and dies under 4-core Arrow load)
-        extra["spark.executor.memory"] = "8g"
+        extra["spark.executor.memory"] = f"{max(wmem - 1024, 1024)}m"
         extra["spark.submit.pyFiles"] = _package_zip()
     else:
         master = f"local[{cpus}]"
