@@ -114,6 +114,14 @@ def _session(cpus: int, mode: str = "local"):
         "spark.speculation.quantile": "0.75",
         "spark.sql.files.maxPartitionBytes": str(24 * 1024 * 1024),
     }
+    # A/B knob (round-5 verdict item 8): the session default of 128 is
+    # sized for 80 KB html cells crossing Arrow on the STANDARD scan; on
+    # the python-direct path html never crosses Arrow, so downstream thin
+    # rows could take bigger batches. Only adopted if an interleaved A/B
+    # shows the 1-core leg does not slow.
+    ab = os.environ.get("SPARK_GRAFT_ARROW_BATCH")
+    if ab:
+        extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = ab
     if mode == "cluster":
         n_exec = max(1, cpus // 4)
         # worker/executor memory env-overridable (MB): the round-6
