@@ -329,6 +329,7 @@ def membw_ladder(levels: tuple[int, ...] = (1, 2, 4, 8)) -> dict[str, float]:
     def worker(q):
         a = np.ones(1 << 27, dtype=np.uint8)
         b = np.empty_like(a)
+        np.copyto(b, a)  # fault in b's pages OUTSIDE the timed window
         t0 = time.monotonic()
         n = 0
         while time.monotonic() - t0 < 3.0:
@@ -336,8 +337,7 @@ def membw_ladder(levels: tuple[int, ...] = (1, 2, 4, 8)) -> dict[str, float]:
             n += 1
         q.put(n * a.nbytes * 2 / (time.monotonic() - t0) / 1e9)
 
-    out = {}
-    for n in levels:
+    def run_once(n: int) -> float:
         q = mp.Queue()
         ps = [mp.Process(target=worker, args=(q,)) for _ in range(n)]
         for p in ps:
@@ -345,7 +345,25 @@ def membw_ladder(levels: tuple[int, ...] = (1, 2, 4, 8)) -> dict[str, float]:
         rates = [q.get() for _ in ps]
         for p in ps:
             p.join()
-        out[f"membw_gbps_{n}"] = round(sum(rates), 1)
+        return round(sum(rates), 1)
+
+    out = {}
+    for n in levels:
+        # readings below 0.5 GB/s aggregate are not bandwidth on ANY
+        # hardware — they mean the probe processes were starved for their
+        # whole window (observed right after a 48 GB-heap JVM exits:
+        # page reclaim stalls the fork+alloc, bench_full_r6 recorded
+        # 0.0/0.1 while the same run's later ladder read 15.3). Treat as
+        # probe failure and re-measure (twice at most), recording the
+        # best; a genuinely contended window still reads its true low
+        # value, so the contamination tell keeps its meaning.
+        best = 0.0
+        for _ in range(3):
+            best = max(best, run_once(n))
+            if best >= 0.5:
+                break
+            time.sleep(2.0)
+        out[f"membw_gbps_{n}"] = best
     return out
 
 
