@@ -718,6 +718,7 @@ def main() -> None:
             cc_star_benchmark(spark_y, n_nodes=4_000_000, n_edges=10_000_000, stats=st), 2
         )
         result["cc_star_10m_iterations"] = st.get("iterations")
+        result["cc_star_10m_iter_secs"] = st.get("iter_secs")
         spark_y.stop()
     else:
         sec_hi, st_hi = _probe(SCALE_HI)

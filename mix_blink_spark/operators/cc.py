@@ -175,6 +175,8 @@ def connected_components(
 
     e = _ckpt(canon)
     prev_sig = None
+    iter_secs: list[float] = []
+    iter_edges: list[int] = []
     for it in range(max_iterations):
         t0 = _time.monotonic()
         e = _ckpt(_small_star(_large_star(e)))
@@ -183,13 +185,25 @@ def connected_components(
             F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
         ).first()
         cur = (sig["n"], sig["h"])
+        iter_secs.append(round(_time.monotonic() - t0, 2))
+        iter_edges.append(int(cur[0]))
         if verbose:
-            print(f"[cc] iter {it}: {cur[0]} edges, {_time.monotonic() - t0:.2f}s")
+            print(f"[cc] iter {it}: {cur[0]} edges, {iter_secs[-1]:.2f}s")
         if cur == prev_sig:
             break
         prev_sig = cur
     if stats is not None:
-        stats.update({"mode": "star-loop", "iterations": it + 1})
+        # per-iteration seconds + edge counts: a slow wall-clock reading
+        # is attributable to a specific join round (skew, shrinking set)
+        # vs uniform host-window slowness (round-6 observability item)
+        stats.update(
+            {
+                "mode": "star-loop",
+                "iterations": it + 1,
+                "iter_secs": iter_secs,
+                "iter_edges": iter_edges,
+            }
+        )
 
     # converged: edges point node -> component min; min itself is a member too
     members = e.select(F.col("src").alias("member"), F.col("dst").alias("cluster_id"))

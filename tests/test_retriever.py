@@ -161,3 +161,49 @@ def test_fused_me_top1_distinguishes_nul_colliding_aliases(spark):
     # the exact alias scores jw=1.0; if the NUL-colliding dedup dropped it
     # the winner's jw would be < 1
     assert w["jw"] == 1.0
+
+
+def test_fused_me_top1_mid_stream_drain_path(spark):
+    """The size-capped intermediate drain (drain_rows) must not change the
+    winners: run >2 chunks of candidates through one partition with
+    drain_rows=1 (drain after every chunk) and with the default, and
+    require identical output."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.functions.embed import encode_matrix
+    from mix_blink_spark.functions.strsim import levenshtein_sim
+    from mix_blink_spark.operators.scoring import fused_me_top1
+
+    n_surf, n_ent = 400, 50
+    surfs = [f"surf number {i}" for i in range(n_surf)]
+    ents = [(f"ENT::E{j}", f"surf number {j * 8 % n_surf}") for j in range(n_ent)]
+    s_ids = {f"NORM::s{i}": i for i in range(n_surf)}
+    s_mat = encode_matrix(surfs).astype(np.float32)
+    a_ids = {f"{r}\x00{nm}": i for i, (r, nm) in enumerate(ents)}
+    a_mat = encode_matrix([nm for _, nm in ents]).astype(np.float32)
+    bc_s = spark.sparkContext.broadcast((s_ids, s_mat))
+    bc_e = spark.sparkContext.broadcast((a_ids, a_mat))
+
+    # ~20k candidate rows -> 3 chunks of 8192 in one partition
+    rows = [
+        (f"NORM::s{i}", r, surfs[i], nm)
+        for i in range(n_surf)
+        for (r, nm) in ents
+    ]
+    pairs = (
+        spark.createDataFrame(
+            rows, "a string, b string, norm_a string, norm_b string"
+        )
+        .coalesce(1)
+        .withColumn("lev", levenshtein_sim(F.col("norm_a"), F.col("norm_b")))
+    )
+
+    def run(drain):
+        out = fused_me_top1(pairs, "cos", 0.5, 0.3, bc_s, bc_e, drain_rows=drain)
+        return {(r["a"], r["b"]): (r["dense"], r["jw"], r["lev"], r["score"])
+                for r in out.collect()}
+
+    drained = run(1)
+    default = run(200_000)
+    assert drained == default and len(default) > 0
