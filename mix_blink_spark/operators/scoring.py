@@ -185,6 +185,7 @@ def fused_me_top1(
     tau_ent: float,
     bc_a,
     bc_b,
+    drain_rows: int = 200_000,
 ) -> DataFrame:
     """Score surface→entity candidate pairs AND reduce to the top-1 entity
     per surface inside one Arrow stage — a map-side combine for what was a
@@ -322,7 +323,7 @@ def fused_me_top1(
                 acc.append(score_chunk(flush()))
                 acc_n += len(acc[-1])
                 buf, size = [], 0
-                if acc_n >= 200_000:
+                if acc_n >= drain_rows:
                     drain()
         if size:
             acc.append(score_chunk(flush()))

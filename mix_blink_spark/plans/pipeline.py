@@ -178,6 +178,11 @@ def build_mentions(
                 "pages input selects the python-direct reader — pass a "
                 "DataFrame instead"
             )
+        if not from_html:
+            raise ValueError(
+                "from_html=False (pre-extracted text) has no python-direct "
+                "plan; pass the pages DataFrame instead of a parquet path"
+            )
         from ..sources.pages import read_pages_extracted_python
 
         pages = read_pages_extracted_python(
@@ -496,13 +501,13 @@ def link(
         if use_bc:
             a_ids = {f"{r}\x00{nm}": i for i, (r, nm) in enumerate(a_rows)}
             bc_e = spark.sparkContext.broadcast((a_ids, a_mat))
-            if _os.environ.get("MBS_ME_PLAN", "fused") != "window":
+            if _os.environ.get("SPARK_GRAFT_ME_PLAN", "fused") != "window":
                 # fused score + top-1-per-surface (round-5 verdict item
                 # 3): Levenshtein stays a JVM codegen column; dense + JW
                 # + the per-partition argmax run in ONE Arrow stage, so
                 # only each partition's per-surface winners — not every
                 # scored candidate — reach the final ranking exchange.
-                # MBS_ME_PLAN=window keeps the pre-fusion plan for A/B
+                # SPARK_GRAFT_ME_PLAN=window keeps the pre-fusion plan for A/B
                 # attribution only (bit-identical output, parity-gated).
                 from ..functions.strsim import levenshtein_sim
 

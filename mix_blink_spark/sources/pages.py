@@ -168,20 +168,46 @@ def read_pages_extracted_python(
     scan parallelizes on, so data/task balance is unchanged at any scale.
     Output: columns + extracted ``text`` (byte-identical to
     ``with_extracted_text`` — gated in tests/test_text.py).
+
+    Handles hive-partitioned layouts (the ``write_pages`` spec partitions
+    by ``lang, warc_day``): requested columns that are PARTITION keys
+    don't exist in the physical row groups — their per-fragment constant
+    values ride along with the split rows and are filled in worker-side.
+    A requested column that is neither physical nor a partition key
+    raises here, listing what the dataset has (pyarrow would silently
+    omit it from ``read_row_group`` and every task would KeyError).
     """
+    import json as _json
+
     import pyarrow.dataset as ds
 
     from ..functions.text import extract_text_str
 
+    dataset = ds.dataset(path, format="parquet", partitioning="hive")
+    avail = set(dataset.schema.names)
+    missing = [c for c in columns if c not in avail]
+    if missing or "html" not in avail:
+        raise ValueError(
+            f"columns {missing or ['html']} not in dataset at {path}; "
+            f"available: {sorted(avail)}"
+        )
     frags = []
-    for frag in ds.dataset(path, format="parquet").get_fragments():
+    for frag in dataset.get_fragments():
+        # partition-key constants for this fragment (empty for flat dirs)
+        pkeys = {
+            k: str(v)
+            for k, v in ds.get_partition_keys(frag.partition_expression).items()
+        }
+        pk_json = _json.dumps(pkeys)
         for rg in frag.row_groups:
-            frags.append((frag.path, rg.id))
+            frags.append((frag.path, rg.id, pk_json))
     if not frags:
         return spark.createDataFrame(
             [], ", ".join([f"{c} string" for c in columns]) + ", text string"
         )
-    splits = spark.createDataFrame(frags, "path string, rg int").repartition(len(frags))
+    splits = spark.createDataFrame(
+        frags, "path string, rg int, pkeys string"
+    ).repartition(len(frags))
 
     out_cols = list(columns) + ["text"]
 
@@ -189,7 +215,9 @@ def read_pages_extracted_python(
         import pyarrow.parquet as pq
 
         for pdf in batches:
-            for path_, rg in zip(pdf["path"], pdf["rg"]):
+            for path_, rg, pk_json in zip(pdf["path"], pdf["rg"], pdf["pkeys"]):
+                pkeys = _json.loads(pk_json)
+                phys_cols = [c for c in columns if c not in pkeys]
                 # memory_map + decode straight off the Arrow buffers: the
                 # buffered read()+to_pandas+bytes() path moves the heavy
                 # html column through three extra copies, and its kernel
@@ -202,7 +230,7 @@ def read_pages_extracted_python(
                 # near-linearly (14.9k -> 59.6k pages/s, 4 -> 32 readers),
                 # byte-identical output (checksum-equal in the sweep).
                 tbl = pq.ParquetFile(path_, memory_map=True).read_row_group(
-                    int(rg), columns=list(columns) + ["html"]
+                    int(rg), columns=phys_cols + ["html"]
                 )
                 texts = [
                     extract_text_str(
@@ -214,6 +242,9 @@ def read_pages_extracted_python(
                     for v in chunk
                 ]
                 d = tbl.drop_columns("html").to_pandas()
+                for c in columns:
+                    if c in pkeys:  # partition-key constant for this fragment
+                        d[c] = pkeys[c]
                 d["text"] = texts
                 yield d[out_cols]
 
