@@ -183,8 +183,8 @@ def fused_me_top1(
     measure: str,
     dense_weight: float,
     tau_ent: float,
-    bc_a,
-    bc_b,
+    bc_a=None,
+    bc_b=None,
     drain_rows: int = 200_000,
 ) -> DataFrame:
     """Score surface→entity candidate pairs AND reduce to the top-1 entity
@@ -203,6 +203,16 @@ def fused_me_top1(
     Only those per-partition winners — O(|surfaces|) rows, never
     O(|candidates|) — cross the final exchange, where the same order picks
     the global winner.
+
+    ROW-EMBEDDING mode (``bc_a``/``bc_b`` = None): pairs instead carry
+    ``emb_a``/``emb_b`` array columns (the join-the-vectors plan of the
+    beyond-broadcast vocabulary regime, where the alias matrix exceeds
+    the broadcast budget). Same kernels, same reduction, dense computed
+    from the row arrays with the exact ``make_dense_score_udf``
+    arithmetic (stack → float64 → ``_dense_np``). The reduction matters
+    MOST here: at 10^8-10^9 distinct surfaces the scored-candidate
+    exchange the window plan would shuffle is the largest intermediate
+    in the pipeline.
 
     Correctness: the ranking order (score desc, b asc, norm_b asc) is
     TOTAL, so max over it is associative — per-partition argmax then
@@ -247,9 +257,12 @@ def fused_me_top1(
     # construction at that granularity cost MORE than the shuffle the
     # fusion removes (measured: ~9.3k tiny frames for 1.2M candidates).
     # RecordBatches concatenate zero-copy; ONE to_pandas per CHUNK rows.
+    row_emb = bc_a is None
+
     def part(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        ids_a, mat_a = bc_a.value
-        ids_b, mat_b = bc_b.value
+        if not row_emb:
+            ids_a, mat_a = bc_a.value
+            ids_b, mat_b = bc_b.value
 
         def top1(df: pd.DataFrame) -> pd.DataFrame:
             # numeric group-max first (hash groupby, C speed), THEN the
@@ -274,11 +287,18 @@ def fused_me_top1(
             # 'borealis technologies' share every byte around the NUL).
             # The NUL-free (a, b, norm_b) triple is the same identity.
             pdf = pdf.drop_duplicates(["a", "b", "norm_b"])
-            ia = pdf["a"].map(ids_a).to_numpy(dtype=np.int64)
-            ib = pdf["bkey"].map(ids_b).to_numpy(dtype=np.int64)
-            dense = _dense_np(
-                mat_a[ia].astype(np.float64), mat_b[ib].astype(np.float64), measure
-            )
+            if row_emb:
+                dense = _dense_np(
+                    np.stack(pdf["emb_a"].to_numpy()).astype(np.float64),
+                    np.stack(pdf["emb_b"].to_numpy()).astype(np.float64),
+                    measure,
+                )
+            else:
+                ia = pdf["a"].map(ids_a).to_numpy(dtype=np.int64)
+                ib = pdf["bkey"].map(ids_b).to_numpy(dtype=np.int64)
+                dense = _dense_np(
+                    mat_a[ia].astype(np.float64), mat_b[ib].astype(np.float64), measure
+                )
             jw = jaro_winkler_np(pdf["norm_a"].tolist(), pdf["norm_b"].tolist())
             lev = pdf["lev"].to_numpy(dtype=np.float64)
             dense_sim = 1.0 / (1.0 + dense) if measure == "l2" else dense
@@ -333,19 +353,24 @@ def fused_me_top1(
                 acc[0].reset_index(drop=True), schema=out_pa, preserve_index=False
             )
 
-    # the b-side lookup key (b + NUL + norm_b) is built JVM-side: pandas
-    # string concat (both ``+`` and ``str.cat``) silently DROPS embedded
-    # NUL bytes (pandas 2.2), which would miss every dict entry —
-    # concat_ws preserves them through Arrow, as the broadcast-dense UDF
-    # path always relied on
-    winners = pairs.select(
-        "a",
-        "b",
-        "norm_a",
-        "norm_b",
-        "lev",
-        F.concat_ws("\x00", F.col("b"), F.col("norm_b")).alias("bkey"),
-    ).mapInArrow(part, schema=out_schema)
+    if row_emb:
+        winners = pairs.select(
+            "a", "b", "norm_a", "norm_b", "lev", "emb_a", "emb_b"
+        ).mapInArrow(part, schema=out_schema)
+    else:
+        # the b-side lookup key (b + NUL + norm_b) is built JVM-side:
+        # pandas string concat (both ``+`` and ``str.cat``) silently DROPS
+        # embedded NUL bytes (pandas 2.2), which would miss every dict
+        # entry — concat_ws preserves them through Arrow, as the
+        # broadcast-dense UDF path always relied on
+        winners = pairs.select(
+            "a",
+            "b",
+            "norm_a",
+            "norm_b",
+            "lev",
+            F.concat_ws("\x00", F.col("b"), F.col("norm_b")).alias("bkey"),
+        ).mapInArrow(part, schema=out_schema)
     w = Window.partitionBy("a").orderBy(
         F.col("score").desc(), F.col("b"), F.col("norm_b")
     )

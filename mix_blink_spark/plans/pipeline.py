@@ -548,6 +548,22 @@ def link(
                 )
             )
             p = p.join(ea, "a").join(eb, ["b", "norm_b"])
+            if _os.environ.get("SPARK_GRAFT_ME_PLAN", "fused") != "window":
+                # row-embedding fused reduction: at beyond-broadcast
+                # vocabulary the scored-candidate exchange the window
+                # would shuffle is the pipeline's largest intermediate —
+                # reduce to per-partition winners inside the scoring
+                # stage here too (same kernels; bit-identical output,
+                # covered by the regime-parity test at forced
+                # broadcast_dense_limit=0)
+                from ..functions.strsim import levenshtein_sim
+
+                p = p.withColumn(
+                    "lev", levenshtein_sim(F.col("norm_a"), F.col("norm_b"))
+                )
+                return fused_me_top1(
+                    p, cfg.measure, cfg.dense_weight, cfg.tau_ent
+                )
             scored = score_pairs(p, cfg.measure, cfg.dense_weight)
         # top-1 entity per surface, deterministic tie-break on entity id
         from pyspark.sql.window import Window

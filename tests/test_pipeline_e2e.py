@@ -199,3 +199,28 @@ def test_link_parquet_path_parity(spark, tmp_path):
     # contradiction and must refuse, not silently fall back
     with pytest.raises(ValueError, match="python-direct"):
         link(spark, pq_dir, spans, ents, LinkConfig(jvm_extract=True))
+
+
+def test_rowemb_fused_parity_beyond_broadcast(spark, monkeypatch):
+    """broadcast_dense_limit=0 forces the join-the-vectors (row-embedding)
+    scoring plan — the beyond-broadcast vocabulary regime. Its fused
+    reduction must produce exactly the window plan's me pairs, which must
+    also equal the broadcast-matrix branch's."""
+    from mix_blink_spark.fixtures import corpus_dfs
+
+    pages, ents, golds, _ = corpus_dfs(spark, seed=23, n_pages=250, n_entities=20)
+    spans = golds.select("url", "mention_id", "start", "end")
+
+    def run(limit, plan):
+        monkeypatch.setenv("SPARK_GRAFT_ME_PLAN", plan)
+        cfg = LinkConfig(driver_pairs_limit=0, broadcast_dense_limit=limit)
+        out = link(spark, pages, spans, ents, cfg)
+        return {(r["a"], r["b"]): (r["dense"], r["jw"], r["lev"], r["score"])
+                for r in out["pairs_me"].collect()}
+
+    rowemb_fused = run(0, "fused")
+    rowemb_window = run(0, "window")
+    bc_fused = run(500_000, "fused")
+    assert rowemb_fused == rowemb_window
+    assert rowemb_fused == bc_fused
+    assert len(rowemb_fused) > 0
