@@ -490,11 +490,25 @@ ER_ORACLE_DIR = _os.environ.get(
     "SPARK_GRAFT_ER_ORACLE_DIR", f"/tmp/mbs-oracle-er-{_os.getpid()}"
 )
 
-if "SPARK_GRAFT_ER_ORACLE_DIR" not in _os.environ:
+_er_oracle_cleanup_registered = False
+
+
+def _register_er_oracle_cleanup() -> None:
+    """Register the exit-time rmtree of the default ER oracle dir — called
+    lazily from the ONE place that writes it (q_er_link_clusters), never at
+    import time (round-6 ADVICE): this module is shipped to Spark Python
+    workers via pyFiles, and an import-time atexit would register a delete
+    in every worker process too. Pid-suffixing already scopes each process
+    to its own dir, but cleanup belongs only to the process that wrote the
+    data. Explicit SPARK_GRAFT_ER_ORACLE_DIR stays caller-managed."""
+    global _er_oracle_cleanup_registered
+    if _er_oracle_cleanup_registered or "SPARK_GRAFT_ER_ORACLE_DIR" in _os.environ:
+        return
     import atexit as _atexit
     import shutil as _shutil
 
     _atexit.register(_shutil.rmtree, ER_ORACLE_DIR, ignore_errors=True)
+    _er_oracle_cleanup_registered = True
 
 
 def q_er_link_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -516,6 +530,7 @@ def q_er_link_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # path's plan) under the correctness gate; output is join-order-invariant
     out = link(spark, pages, spans, ents, LinkConfig(broadcast_spans=True))
     clusters = out["clusters"].persist()
+    _register_er_oracle_cleanup()
     clusters.write.mode("overwrite").parquet(f"{ER_ORACLE_DIR}/clusters")
     labeled.write.mode("overwrite").parquet(f"{ER_ORACLE_DIR}/labeled")
     prf = pairwise_prf(cluster_pairs(clusters), labeled)

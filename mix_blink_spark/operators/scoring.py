@@ -285,7 +285,22 @@ def fused_me_top1(
             # C-strings and TRUNCATES at the embedded NUL, silently
             # collapsing distinct aliases ('boreali stechnologies' vs
             # 'borealis technologies' share every byte around the NUL).
-            # The NUL-free (a, b, norm_b) triple is the same identity.
+            # The NUL-free (a, b, norm_b) triple is the same identity —
+            # which makes NUL-free ids a CONTRACT, enforced here: `a`/`b`
+            # are caller-provided opaque ids, and an id with an embedded
+            # NUL would hit the same silent pandas key collapse (and, for
+            # `b`, make the broadcast lookup key `b + NUL + norm_b`
+            # ambiguous). The check is one C-speed scan per chunk,
+            # negligible next to the JW kernel.
+            for idc in ("a", "b"):
+                if pdf[idc].str.contains("\x00", regex=False).any():
+                    raise ValueError(
+                        f"fused_me_top1: column '{idc}' contains an id with "
+                        "an embedded NUL byte; ids must be NUL-free — "
+                        "pandas 2.2 string hashing (drop_duplicates/"
+                        "factorize/groupby) truncates at NUL and would "
+                        "silently collapse distinct ids"
+                    )
             pdf = pdf.drop_duplicates(["a", "b", "norm_b"])
             if row_emb:
                 dense = _dense_np(
@@ -319,17 +334,23 @@ def fused_me_top1(
         # per-chunk winners ACCUMULATE and reduce once at partition end
         # (plus a size-capped intermediate drain): merging the running
         # best-set on every chunk is O(chunks x |winners|) — measured
-        # slower than the window shuffle this fusion removes
+        # slower than the window shuffle this fusion removes. The drain
+        # triggers on rows appended SINCE the last collapse (``pending``),
+        # not the running total: a partition whose collapsed winner set
+        # alone exceeds drain_rows (the 10^8-surface row-embedding regime)
+        # must not re-merge the full set after every 8k-row chunk — that
+        # is exactly the per-chunk merge measured slower (round-6 ADVICE).
+        # Amortized cost stays O(|winners| / drain_rows) per new row.
         acc: list[pd.DataFrame] = []
-        acc_n = 0
+        pending = 0
         buf: list["pa.RecordBatch"] = []
         size = 0
 
         def drain() -> None:
-            nonlocal acc, acc_n
+            nonlocal acc, pending
             if len(acc) > 1:
                 acc = [top1(pd.concat(acc, ignore_index=True))]
-                acc_n = len(acc[0])
+            pending = 0
 
         def flush() -> pd.DataFrame:
             return pa.Table.from_batches(buf).to_pandas()
@@ -341,9 +362,9 @@ def fused_me_top1(
             size += rb.num_rows
             if size >= CHUNK:
                 acc.append(score_chunk(flush()))
-                acc_n += len(acc[-1])
+                pending += len(acc[-1])
                 buf, size = [], 0
-                if acc_n >= drain_rows:
+                if pending >= drain_rows:
                     drain()
         if size:
             acc.append(score_chunk(flush()))

@@ -183,6 +183,8 @@ def read_pages_extracted_python(
 
     from ..functions.text import extract_text_str
 
+    import pyarrow as pa
+
     dataset = ds.dataset(path, format="parquet", partitioning="hive")
     avail = set(dataset.schema.names)
     missing = [c for c in columns if c not in avail]
@@ -191,19 +193,57 @@ def read_pages_extracted_python(
             f"columns {missing or ['html']} not in dataset at {path}; "
             f"available: {sorted(avail)}"
         )
+
+    # Output types follow the DATASET schema (round-6 ADVICE: a hive
+    # partition key like warc_day is inferred int32 by pyarrow, and the
+    # standard Spark scan types it int — this reader must agree, not
+    # return '20240101' as a string). Types outside the map fall back to
+    # string with a str() coercion, the pre-round-7 behavior.
+    def _spark_ddl(t: "pa.DataType") -> str | None:
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        for pred, ddl in (
+            (pa.types.is_int8, "tinyint"),
+            (pa.types.is_int16, "smallint"),
+            (pa.types.is_int32, "int"),
+            (pa.types.is_int64, "bigint"),
+            (pa.types.is_float32, "float"),
+            (pa.types.is_float64, "double"),
+            (pa.types.is_boolean, "boolean"),
+            (pa.types.is_timestamp, "timestamp"),
+            (pa.types.is_date, "date"),
+        ):
+            if pred(t):
+                return ddl
+        return None
+
+    col_ddl = {
+        c: _spark_ddl(dataset.schema.field(c).type) or "string" for c in columns
+    }
+    # partition-key transport: values ride the split rows as JSON; types
+    # that JSON can carry natively (int/float/bool/str — covering every
+    # hive-inferred partition type pyarrow produces for those) keep their
+    # type end-to-end, anything else degrades to string transport AND a
+    # declared string column so schema and values always agree
+    json_safe = (int, float, bool, str)
     frags = []
     for frag in dataset.get_fragments():
         # partition-key constants for this fragment (empty for flat dirs)
-        pkeys = {
-            k: str(v)
-            for k, v in ds.get_partition_keys(frag.partition_expression).items()
-        }
+        pkeys = {}
+        for k, v in ds.get_partition_keys(frag.partition_expression).items():
+            if isinstance(v, json_safe):
+                pkeys[k] = v
+            else:
+                pkeys[k] = str(v)
+                if k in col_ddl:
+                    col_ddl[k] = "string"
         pk_json = _json.dumps(pkeys)
         for rg in frag.row_groups:
             frags.append((frag.path, rg.id, pk_json))
     if not frags:
         return spark.createDataFrame(
-            [], ", ".join([f"{c} string" for c in columns]) + ", text string"
+            [],
+            ", ".join(f"{c} {col_ddl[c]}" for c in columns) + ", text string",
         )
     splits = spark.createDataFrame(
         frags, "path string, rg int, pkeys string"
@@ -248,7 +288,5 @@ def read_pages_extracted_python(
                 d["text"] = texts
                 yield d[out_cols]
 
-    schema = ", ".join(
-        f"{c} timestamp" if c == "warc_ts" else f"{c} string" for c in out_cols
-    )
+    schema = ", ".join(f"{c} {col_ddl.get(c, 'string')}" for c in out_cols)
     return splits.mapInPandas(gen, schema)

@@ -57,6 +57,20 @@ def test_ngram_jaccard_max_df_is_precision_safe(docs):
     assert ("1", "2") in capped
 
 
+def test_ngram_jaccard_hot_df_tripwire(docs, recwarn):
+    """max_df=None warns when the hottest shingle's df exceeds the bound
+    (round-6 verdict item 5: the exact join is O(df²) in the hot key), is
+    silent below it, and NEVER changes the output — same pairs, same
+    jaccards, with and without the tripwire."""
+    quiet = ngram_jaccard_pairs(docs, threshold=0.5, hot_df_warn=10_000)
+    assert not [w for w in recwarn.list if "hottest shingle" in str(w.message)]
+    with pytest.warns(UserWarning, match=r"hottest shingle .* O\(df²\)|hot-key"):
+        loud = ngram_jaccard_pairs(docs, threshold=0.5, hot_df_warn=1)
+    lazy = ngram_jaccard_pairs(docs, threshold=0.5, hot_df_warn=None)
+    rows = lambda df: {(r["a"], r["b"]): r["jaccard"] for r in df.collect()}  # noqa: E731
+    assert rows(quiet) == rows(loud) == rows(lazy) and len(rows(lazy)) > 0
+
+
 def test_minhash_lsh_pairs(docs):
     got = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs).collect()}
     assert ("1", "2") in got      # identical docs always collide

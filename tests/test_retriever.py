@@ -207,3 +207,29 @@ def test_fused_me_top1_mid_stream_drain_path(spark):
     drained = run(1)
     default = run(200_000)
     assert drained == default and len(default) > 0
+
+
+def test_fused_me_top1_rejects_nul_in_ids(spark):
+    """NUL-free ids are a CONTRACT (round-6 ADVICE): pandas 2.2 string
+    hashing truncates at embedded NUL, so an entity id containing one would
+    silently collapse distinct entities in the fused kernel's local dedup
+    (and make the b+NUL+norm_b broadcast key ambiguous). The kernel must
+    refuse loudly, not collapse silently."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.functions.strsim import levenshtein_sim
+    from mix_blink_spark.operators.scoring import fused_me_top1
+
+    emb = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        ("s1", "E\x001", "acme corp", "acme corporation", emb, emb),
+        ("s1", "E\x002", "acme corp", "acme corporation", emb, emb),
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "a string, b string, norm_a string, norm_b string, "
+        "emb_a array<double>, emb_b array<double>",
+    ).withColumn("lev", levenshtein_sim(F.col("norm_a"), F.col("norm_b")))
+    with pytest.raises(Exception, match="embedded NUL"):
+        fused_me_top1(pairs, "cos", 0.5, 0.3).collect()

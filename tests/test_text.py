@@ -160,6 +160,38 @@ def test_python_direct_reader_hive_partitioned_layout(spark, tmp_path):
         read_pages_extracted_python(spark, path, columns=("url", "no_such_col"))
 
 
+def test_python_direct_reader_typed_partition_key(spark, tmp_path):
+    """A NON-STRING hive partition key (pyarrow infers e.g. int32 for
+    day_i=20240101) must come back with the same TYPE and VALUES the
+    standard Spark scan gives — not as the string '20240101' (round-6
+    ADVICE: the reader declared every partition key string)."""
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.fixtures import corpus_dfs
+    from mix_blink_spark.sources.pages import read_pages_extracted_python
+
+    pages, _, _, _ = corpus_dfs(spark, seed=23, n_pages=40, n_entities=8)
+    path = str(tmp_path / "pages_int_part")
+    (
+        pages.withColumn(
+            "day_i", (F.lit(20240101) + (F.crc32("url") % 2)).cast("int")
+        )
+        .select("url", "warc_ts", "html", "lang", "day_i")
+        .write.partitionBy("day_i")
+        .parquet(path)
+    )
+
+    std = spark.read.parquet(path).select("url", F.col("day_i").alias("d_std"))
+    new = read_pages_extracted_python(spark, path, columns=("url", "day_i")).select(
+        "url", F.col("day_i").alias("d_new")
+    )
+    # dtype parity with the standard scan (both integer, not string)
+    assert dict(new.dtypes)["d_new"] == dict(std.dtypes)["d_std"]
+    j = std.join(new, "url")
+    assert j.count() == 40
+    assert j.filter(F.col("d_std") != F.col("d_new")).count() == 0
+
+
 def test_link_parquet_path_on_partitioned_layout(spark, tmp_path):
     """link() with a parquet path must work on the write_pages layout."""
     from mix_blink_spark.fixtures import corpus_dfs
