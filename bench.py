@@ -638,6 +638,38 @@ def _scaling_evidence() -> dict[str, float | list]:
             ],
         }
     )
+    # capped vs UNCAPPED contrast (round-6 verdict item 1): the mandated
+    # legs above run the DEFAULT plan, which caps scan-stage concurrency
+    # at SPARK_GRAFT_SCAN_SLOTS=16 readers (the pydirect analog of
+    # LinkConfig.io_slots; bench_artifacts/slots_sweep_r7.json — the
+    # swept optimum on this host: 16 beats both 12 and uncapped at
+    # local[32], and the capped pair is monotone 8->32 where uncapped
+    # anti-scales, 16-17 s vs 34 s). One uncapped leg per level in the
+    # same window shows what the cap buys. The 8-leg plan is
+    # cap-invariant (the coalesce binds only when defaultParallelism
+    # exceeds the cap), so its uncapped leg doubles as a window check.
+    out["mandated_scan_slots"] = int(os.environ.get("SPARK_GRAFT_SCAN_SLOTS", "16"))
+    if os.environ.get("SPARK_GRAFT_UNCAPPED_CONTRAST", "1") == "1":
+        prev_slots = os.environ.get("SPARK_GRAFT_SCAN_SLOTS")
+        os.environ["SPARK_GRAFT_SCAN_SLOTS"] = "0"
+        try:
+            sec_u32, _ = _probe(hi32, ER_PAGES, "local")
+            sec_u8, _ = _probe(lo8, ER_PAGES, "local")
+        finally:
+            if prev_slots is None:
+                del os.environ["SPARK_GRAFT_SCAN_SLOTS"]
+            else:
+                os.environ["SPARK_GRAFT_SCAN_SLOTS"] = prev_slots
+        thr_u8, thr_u32 = ER_PAGES / sec_u8, ER_PAGES / sec_u32
+        out.update(
+            {
+                f"mandated_uncapped_docs_per_sec_{lo8}": round(thr_u8, 1),
+                f"mandated_uncapped_docs_per_sec_{hi32}": round(thr_u32, 1),
+                "mandated_uncapped_scaling_efficiency": round(
+                    (thr_u32 / thr_u8) / (hi32 / lo8), 3
+                ),
+            }
+        )
     if "cluster" in modes:
         out.update(
             {
@@ -678,11 +710,20 @@ def main() -> None:
     # JVM/codegen/Python-worker warm-up so the first timed query isn't
     # charged for session startup
     qs["s1_scan_filter"](spark, sf_dir).count()
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+    # per-query MEDIANS over interleaved rounds (round-6 verdict item 2:
+    # single-shot per-query timings let a noisy host window masquerade as
+    # a regression — text_stats doubled r4->r6 with the code untouched).
+    # Rounds, not per-query repeats, so temporal drift hits every query;
+    # a membw tell taken right after is recorded beside the table.
+    q_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(q_reps):
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).count()
+            samples[name].append(time.monotonic() - t0)
+    timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    queries_membw = membw_ladder((1,))["membw_gbps_1"]
 
     _prepare_corpus(spark)
     spark.stop()
@@ -691,6 +732,11 @@ def main() -> None:
         "metric": "total_bench_sec",
         "unit": "sec",
         "queries": timings,
+        "query_repeats": q_reps,
+        "query_secs_all": {
+            n: [round(x, 3) for x in v] for n, v in samples.items()
+        },
+        "queries_membw_gbps_1": queries_membw,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "er_pages": ER_PAGES,
         "er_page_kb": ER_BOILER_KB,
@@ -744,6 +790,11 @@ def main() -> None:
         f"mandated_docs_per_sec_{MANDATED_LEVELS[0]}",
         f"mandated_docs_per_sec_{MANDATED_LEVELS[1]}",
         "mandated_scaling_efficiency",
+        "mandated_scan_slots",
+        f"mandated_uncapped_docs_per_sec_{MANDATED_LEVELS[0]}",
+        f"mandated_uncapped_docs_per_sec_{MANDATED_LEVELS[1]}",
+        "mandated_uncapped_scaling_efficiency",
+        "query_repeats", "queries_membw_gbps_1",
         f"executors_docs_per_sec_{MANDATED_LEVELS[0]}",
         f"executors_docs_per_sec_{MANDATED_LEVELS[1]}",
         "executors_scaling_efficiency_8_32",
