@@ -175,6 +175,7 @@ def candidate_pairs(
     neighborhood: int = 8,
     sizes: DataFrame | None = None,
     caches: list | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Self-join within each blocking key → deduped (a, b) candidate pairs.
 
@@ -241,7 +242,15 @@ def candidate_pairs(
     )
 
     pairs = small_pairs.select("a", "b", "norm_a", "norm_b").unionByName(big_pairs)
-    return pairs.dropDuplicates(["a", "b"])
+    # ``dedup=False`` skips the global per-(a, b) dropDuplicates — a full
+    # shuffle of the whole pair set. A pair that shares k blocking keys
+    # (k token keys + minhash bands + family overlap) comes out k times;
+    # duplicates score identically, so any caller that collapses pairs
+    # downstream (the pipeline's edge set is distinct()ed inside
+    # connected_components._canonical) trades duplicate scoring compute
+    # for the dedup exchange. Default True keeps the deduped contract
+    # (the driver-gate queries and direct callers rely on it).
+    return pairs.dropDuplicates(["a", "b"]) if dedup else pairs
 
 
 def cross_family_pairs(

@@ -454,10 +454,26 @@ def link(
             )
             _local["mm"] = rows
             return spark.createDataFrame(rows, _PAIRS_SCHEMA)
+        # SPARK_GRAFT_MM_DEDUP=0 (A/B knob, round-7 TODO): skip the global
+        # per-(a, b) dropDuplicates — the mm side's one remaining full
+        # shuffle of the whole pair set. Duplicate pairs score identically
+        # and the edge set is distinct()ed inside connected_components, so
+        # clusters are invariant; pairs_mm rows/histograms then count a
+        # pair once per shared blocking key, which is why the deduped
+        # contract stays the default until the A/B shows a win worth that
+        # caveat (see bench_artifacts/highvocab_r7*.json).
         p = candidate_pairs(
             s_keyed, cfg.max_block_size, cfg.neighborhood, sizes=s_sizes,
             caches=_op_caches,
+            dedup=_os.environ.get("SPARK_GRAFT_MM_DEDUP", "1") != "0",
         )
+        if _os.environ.get("SPARK_GRAFT_PROFILE_PAIRGEN") == "1":
+            # profiling only (off by default): materialize the candidate
+            # rows BEFORE scoring so the stage log splits generation from
+            # scoring — the count re-executes the (diamond-cached)
+            # generation subtree, so never enable outside a profile run
+            _tg = _time.monotonic()
+            mark(f"pairs_mm generation only (n={p.count()})", _tg)
         if use_bc:
             dense_udf = make_broadcast_dense_udf(cfg.measure, bc_s, bc_s)
             p = p.withColumn("dense", dense_udf(F.col("a"), F.col("b")))
@@ -498,6 +514,10 @@ def link(
             left_sizes=s_sizes,
             caches=_op_caches,
         )
+        if _os.environ.get("SPARK_GRAFT_PROFILE_PAIRGEN") == "1":
+            # same generation/scoring split for the me leg (see pairs_mm)
+            _tg = _time.monotonic()
+            mark(f"pairs_me generation only (n={p.count()})", _tg)
         if use_bc:
             a_ids = {f"{r}\x00{nm}": i for i, (r, nm) in enumerate(a_rows)}
             bc_e = spark.sparkContext.broadcast((a_ids, a_mat))

@@ -27,7 +27,7 @@ def main() -> None:
     from mix_blink_spark.fixtures import distributed_corpus
     from mix_blink_spark.plans.pipeline import LinkConfig, link
 
-    pages_n, ents_n, wide = 60000, 20000, False
+    pages_n, ents_n, wide, split = 60000, 20000, False, False
     args = sys.argv[1:]
     i = 0
     while i < len(args):
@@ -37,8 +37,14 @@ def main() -> None:
             ents_n = int(args[i + 1]); i += 2
         elif args[i] == "--wide":
             wide = True; i += 1
+        elif args[i] == "--split-pairgen":
+            # round-7 verdict item 4: materialize candidate rows before
+            # scoring so the stage log splits generation from scoring
+            split = True; i += 1
         else:
             i += 1
+    if split:
+        os.environ["SPARK_GRAFT_PROFILE_PAIRGEN"] = "1"
 
     spark = bench._session(8)
     root = os.environ["SPARK_GRAFT_CORPUS_DIR"]
@@ -67,7 +73,12 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
-    out = link(spark, pages, spans, ents, LinkConfig(broadcast_spans=True, me_max_block_size=200), verbose=True)
+    timings: dict = {}
+    out = link(
+        spark, pages, spans, ents,
+        LinkConfig(broadcast_spans=True, me_max_block_size=200),
+        verbose=True, timings=timings,
+    )
     clusters = out["clusters"].persist()
     n_members = clusters.count()
     total = time.monotonic() - t0
@@ -91,6 +102,7 @@ def main() -> None:
                 "members": n_members,
                 "clusters": n_clusters,
                 "docs_per_sec": round(pages_n / total, 1),
+                "stage_secs": timings,
             }
         )
     )
