@@ -603,7 +603,13 @@ def _scaling_evidence() -> dict[str, float | list]:
     #     this is the shape a real spark-submit deployment scales in.
     # Legs are interleaved across shapes and repeated; medians reported.
     lo8, hi32 = MANDATED_LEVELS
-    m_reps = int(os.environ.get("SPARK_GRAFT_MANDATED_REPEATS", "2"))
+    # 3 reps since round 7: identical capped legs spread up to ~±20% on
+    # this host (r7 idle sweep: slots=16 read 18.2/17.1 s monotone while
+    # the same binary's full-protocol window read 17.5/21.1 s inverted),
+    # so a 2-rep median is one bad leg away from recording anti-scaling
+    # on a plan whose true 8->32 ratio is ~1.0. Median-of-3 plus the
+    # pooled-best pair below bound the window roulette both ways.
+    m_reps = int(os.environ.get("SPARK_GRAFT_MANDATED_REPEATS", "3"))
     modes = ["local"]
     # the executor-JVM shape (2 vs 8 separate JVMs) is opt-in for the
     # default run — it is slow on this box and its result is already
@@ -631,6 +637,25 @@ def _scaling_evidence() -> dict[str, float | list]:
             "mandated_scaling_efficiency": round(
                 (mthr[("local", hi32)] / mthr[("local", lo8)]) / (hi32 / lo8), 3
             ),
+            # pooled-best pair (same definition as the primary pair's
+            # `scaling_efficiency_best`: per-level minimum leg across all
+            # reps — interference only ever slows a leg down, so the best
+            # legs are the least-interfered reading of the same binary)
+            f"mandated_docs_per_sec_{lo8}_best": round(
+                ER_PAGES / min(mruns[("local", lo8)]), 1
+            ),
+            f"mandated_docs_per_sec_{hi32}_best": round(
+                ER_PAGES / min(mruns[("local", hi32)]), 1
+            ),
+            "mandated_scaling_efficiency_best": round(
+                (min(mruns[("local", lo8)]) / min(mruns[("local", hi32)]))
+                / (hi32 / lo8),
+                3,
+            ),
+            "mandated_raw_secs": {
+                f"local[{c}]": [round(x, 2) for x in mruns[("local", c)]]
+                for c in (lo8, hi32)
+            },
             # per-stage seconds of the faster mandated-hi leg (the
             # less-interfered sample of the two)
             f"er_stage_secs_{hi32}": mstages[("local", hi32)][
@@ -790,6 +815,9 @@ def main() -> None:
         f"mandated_docs_per_sec_{MANDATED_LEVELS[0]}",
         f"mandated_docs_per_sec_{MANDATED_LEVELS[1]}",
         "mandated_scaling_efficiency",
+        f"mandated_docs_per_sec_{MANDATED_LEVELS[0]}_best",
+        f"mandated_docs_per_sec_{MANDATED_LEVELS[1]}_best",
+        "mandated_scaling_efficiency_best",
         "mandated_scan_slots",
         f"mandated_uncapped_docs_per_sec_{MANDATED_LEVELS[0]}",
         f"mandated_uncapped_docs_per_sec_{MANDATED_LEVELS[1]}",

@@ -224,3 +224,38 @@ def test_rowemb_fused_parity_beyond_broadcast(spark, monkeypatch):
     assert rowemb_fused == rowemb_window
     assert rowemb_fused == bc_fused
     assert len(rowemb_fused) > 0
+
+
+def test_mm_dedup_knob_cluster_parity(spark, monkeypatch):
+    """SPARK_GRAFT_MM_DEDUP=0 skips the mm side's global per-(a, b)
+    dropDuplicates (a full shuffle of the pair set). Duplicate pairs score
+    identically and the edge set is distinct()ed inside
+    connected_components, so clusters must be invariant; the undeduped
+    pair set must equal the deduped one AS A SET (a pair sharing k
+    blocking keys appears k times), with bit-identical scores per key.
+    Measured 1.36x duplicates / net-slower at local[8] in round 7
+    (bench_artifacts/highvocab_r7.json) — the knob stays for cluster-scale
+    re-evaluation, and this test pins its correctness contract."""
+    from mix_blink_spark.fixtures import corpus_dfs
+
+    pages, ents, golds, _ = corpus_dfs(spark, seed=17, n_pages=250, n_entities=20)
+    spans = golds.select("url", "mention_id", "start", "end")
+
+    def run(dedup_env):
+        monkeypatch.setenv("SPARK_GRAFT_MM_DEDUP", dedup_env)
+        # driver_pairs_limit=0 forces the distributed generators (the
+        # knob only exists on the distributed mm path)
+        cfg = LinkConfig(driver_pairs_limit=0, max_block_size=12, neighborhood=4)
+        out = link(spark, pages, spans, ents, cfg)
+        mm_rows = out["pairs_mm"].collect()
+        mm = {(r["a"], r["b"]): (r["dense"], r["jw"], r["lev"], r["score"])
+              for r in mm_rows}
+        cl = {(r["member"], r["cluster_id"]) for r in out["clusters"].collect()}
+        return mm, len(mm_rows), cl
+
+    mm_d, n_d, cl_d = run("1")
+    mm_r, n_r, cl_r = run("0")
+    assert mm_d == mm_r            # same pair set, bit-identical scores
+    assert n_r >= n_d              # raw rows may carry duplicates
+    assert cl_d == cl_r            # clusters invariant
+    assert len(cl_d) > 0
