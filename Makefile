@@ -28,7 +28,8 @@ test:
 
 smoke:
 	SPARK_GRAFT_SF_DIR=$(SMOKE_SF_DIR) SPARK_GRAFT_SCALING=0 \
-	SPARK_GRAFT_QUERY_REPEATS=1 $(PY) bench.py
+	SPARK_GRAFT_QUERY_REPEATS=1 SPARK_GRAFT_ER_PAGES=6000 \
+	SPARK_GRAFT_ER_BOILER_KB=8 $(PY) bench.py
 
 bench:
 	$(PY) bench.py
