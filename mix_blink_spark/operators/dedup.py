@@ -67,7 +67,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
-    hot_df_warn: int | None = 10_000,
+    hot_df_warn: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for pairs with |A∩B| / |A∪B| ≥ threshold.
 
@@ -89,8 +89,15 @@ def ngram_jaccard_pairs(
     runs one small aggregation over the (persisted, so not recomputed)
     shingle table and emits a ``warnings.warn`` naming the hottest df and
     its O(df²) row count if it exceeds the bound. Output plan, rows, and
-    hashes are unchanged — it is a tripwire, not a filter. Pass
-    ``hot_df_warn=None`` to keep the builder fully lazy.
+    hashes are unchanged — it is a tripwire, not a filter.
+
+    Round 8 (round-7 ADVICE): the tripwire is OPT-IN (default None) — the
+    eager aggregation made every default construction of this builder run
+    a Spark job at plan time, a surprising laziness break that also
+    charged ~0.5-1 s of pure tripwire to each bench/oracle invocation.
+    Production corpus-scale callers pass ``hot_df_warn=10_000`` (or set
+    ``max_df``, the actual guard) per the 100 TB runbook note in
+    OPTIMIZATION_r08.md.
     """
     sh = token_shingles(docs, n, id_col, text_col).persist()
     if max_df is None and hot_df_warn is not None:

@@ -38,19 +38,93 @@ from .blocking import DEFAULT_BANDS, DEFAULT_ROWS, DEFAULT_SHINGLE, _minhash_ban
 from .scoring import _dense_np
 
 
-def record_keys(norm: str) -> list[str]:
+def record_keys(norm: str, _memo: dict | None = None) -> list[str]:
     """Python mirror of ``keyed_records``'s key expression: distinct of
-    [tk:<first token>, st:<sorted tokens>, mh<i>:<band sig>...]."""
+    [tk:<first token>, st:<sorted tokens>, mh<i>:<band sig>...].
+
+    ``_memo``: optional per-call-site dict memoizing each distinct
+    SHINGLE's (bands x rows) blake2b digests — the same memoization the
+    distributed ``minhash_band_keys`` UDF applies (surface vocabularies
+    share shingles heavily); identical keys, ~3x fewer digest calls at
+    bench vocabulary (round 8)."""
     tk = "tk:" + norm.split(" ", 1)[0]
     st = "st:" + " ".join(sorted(norm.split(" ")))
-    mh = _minhash_band_keys(norm, DEFAULT_BANDS, DEFAULT_ROWS, DEFAULT_SHINGLE) if norm else []
+    if not norm:
+        return list(dict.fromkeys([tk, st]))
+    if _memo is None:
+        mh = _minhash_band_keys(norm, DEFAULT_BANDS, DEFAULT_ROWS, DEFAULT_SHINGLE)
+        return list(dict.fromkeys([tk, st, *mh]))
+    import numpy as np
+    from hashlib import blake2b
+
+    B, R, SH = DEFAULT_BANDS, DEFAULT_ROWS, DEFAULT_SHINGLE
+    salts = _memo.setdefault(
+        "__salts__", [b"%d:%d" % (b, r) for b in range(B) for r in range(R)]
+    )
+    padded = f" {norm} "
+    grams = (
+        {padded[i : i + SH] for i in range(len(padded) - SH + 1)}
+        if len(padded) >= SH
+        else {padded}
+    )
+    rows = []
+    for g in grams:
+        v = _memo.get(g)
+        if v is None:
+            enc = g.encode("utf-8")
+            v = _memo[g] = np.array(
+                [
+                    int.from_bytes(blake2b(enc, digest_size=8, key=s).digest(), "big")
+                    for s in salts
+                ],
+                dtype=np.uint64,
+            )
+        rows.append(v)
+    mins = np.minimum.reduce(rows)
+    mh = [
+        f"mh{b}:" + "-".join(format(int(mins[b * R + r]), "x") for r in range(R))
+        for b in range(B)
+    ]
     return list(dict.fromkeys([tk, st, *mh]))
 
 
 def levenshtein_np(sa: list[str], sb: list[str]) -> np.ndarray:
     """Vectorized Levenshtein distance (int), matching ``F.levenshtein``
     (plain edit distance over codepoints). Row-DP over character
-    positions, vectorized across pairs."""
+    positions, vectorized across pairs.
+
+    The DP costs max(len_a) x max(len_b) iterations for the WHOLE batch,
+    so one long outlier norm forces every pair through its padded grid —
+    round 8 buckets pairs by max length (sorted, chunked at power-of-two
+    bounds) and runs the identical per-pair DP per bucket: exact same
+    distances (each pair's DP is independent), ~3x less padded work at
+    the bench vocabulary where this kernel was ~60% of the driver-local
+    me-pair tail every leg pays."""
+    n = len(sa)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    ml_all = np.fromiter((max(len(a), len(b)) for a, b in zip(sa, sb)), np.int64, n)
+    if n > 512 and int(ml_all.max()) > 8:
+        out = np.empty(n, dtype=np.int64)
+        order = np.argsort(ml_all, kind="stable")
+        bound = 8
+        start = 0
+        while start < n:
+            end = start
+            while end < n and ml_all[order[end]] <= bound:
+                end += 1
+            if end > start:
+                idx = order[start:end]
+                out[idx] = _levenshtein_np_flat(
+                    [sa[i] for i in idx], [sb[i] for i in idx]
+                )
+                start = end
+            bound *= 2
+        return out
+    return _levenshtein_np_flat(sa, sb)
+
+
+def _levenshtein_np_flat(sa: list[str], sb: list[str]) -> np.ndarray:
     n = len(sa)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
@@ -126,10 +200,11 @@ def local_mm_pairs(
     ``surfs``: [(rid, norm)] aligned with ``mat`` rows. Returns rows
     (a, b, dense, jw, lev, score) with a < b, deduped across keys."""
     by_key: dict[str, list[int]] = {}
+    memo: dict = {}
     for i, (_rid, norm) in enumerate(surfs):
         if not norm:
             continue
-        for k in record_keys(norm):
+        for k in record_keys(norm, memo):
             by_key.setdefault(k, []).append(i)
 
     pair_idx: dict[tuple[str, str], tuple[int, int]] = {}
@@ -182,11 +257,12 @@ def local_me_pairs(
     norm_b) alias with score >= tau_ent."""
     left: dict[str, list[int]] = {}
     right: dict[str, list[int]] = {}
+    memo: dict = {}
     for i, (_rid, norm) in enumerate(surfs):
-        for k in record_keys(norm):
+        for k in record_keys(norm, memo):
             left.setdefault(k, []).append(i)
     for i, (_rid, norm) in enumerate(aliases):
-        for k in record_keys(norm):
+        for k in record_keys(norm, memo):
             right.setdefault(k, []).append(i)
 
     cand: dict[tuple[str, str, str], tuple[int, int]] = {}

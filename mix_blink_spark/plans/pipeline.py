@@ -265,8 +265,18 @@ def link(
             broadcast_spans=cfg.broadcast_spans,
         ),
     )
+    # Only (mention_id, norm) is consumed inside the pipeline (surfaces
+    # are distinct norms; the cluster projection joins on norm keyed by
+    # mention_id), so that NARROW projection is what gets cached — the
+    # full mention rows carry surface/context/url (~350 B/row vs ~30 B),
+    # and caching them charged every leg a corpus-sized serialize +
+    # re-scan for columns nothing downstream reads (optimization guide
+    # §2.3: project before you materialize). The returned ``mentions``
+    # frame keeps the full schema; callers that materialize it recompute
+    # the (lazy) extraction — no in-pipeline consumer does.
+    m_narrow = mentions.select("mention_id", "norm")
     if store is None:
-        mentions = mentions.persist()
+        m_narrow = m_narrow.persist()
 
     # dimension side: dictionary surfaces (with NIL dropped from surfaces)
     ent_surfaces = (
@@ -279,7 +289,7 @@ def link(
     # surface-form factoring: all quadratic work happens on DISTINCT norms
     def make_surfaces():
         return (
-            mentions.select("norm")
+            m_narrow.select("norm")
             .filter(F.length("norm") > 0)
             .distinct()
             .withColumn("rid", F.concat(F.lit(NORM_PREFIX), F.md5("norm")))
@@ -389,11 +399,30 @@ def link(
                 # ~1k tiny rows — collapse to the intended parallelism
                 .coalesce(p_ent)
             )
-            bpdf = (
-                _with_emb(both, enc=cfg.encoder)
-                .select("side", "rid", "norm", "emb")
-                .toPandas()
-            )
+            if cfg.encoder is None:
+                # default trigram encoder: its batch kernel
+                # (functions.embed.encode_matrix) is importable driver-side,
+                # so at dimension scale the rows come back in ONE collect
+                # job with NO Arrow-UDF stage and the encode runs here —
+                # bit-identical float32 rows (same kernel, same None→""
+                # fold as the pandas_udf wrapper), one fewer Python-worker
+                # round trip in the fixed tail every leg pays (round 8;
+                # the N→4N gate is capped by exactly this fixed cost). A
+                # custom cfg.encoder keeps the UDF job: its batch_fn may
+                # need worker-side state (HF weights) by design.
+                from ..functions.embed import encode_matrix
+
+                bpdf = both.select("side", "rid", "norm").toPandas()
+                _bmat = encode_matrix(
+                    [s if s is not None else "" for s in bpdf["norm"]]
+                )
+                bpdf["emb"] = list(_bmat)
+            else:
+                bpdf = (
+                    _with_emb(both, enc=cfg.encoder)
+                    .select("side", "rid", "norm", "emb")
+                    .toPandas()
+                )
             spdf = bpdf[bpdf["side"] == 0].reset_index(drop=True)
             apdf = bpdf[bpdf["side"] == 1].reset_index(drop=True)
         s_ids = {r: i for i, r in enumerate(spdf["rid"])}
@@ -688,7 +717,7 @@ def link(
                 surfaces.join(assignment.withColumnRenamed("member", "rid"), "rid", "left")
                 .select("norm", F.coalesce("cluster_id", F.col("rid")).alias("cluster_id"))
             )
-        m = mentions.select("mention_id", "norm")
+        m = m_narrow
         # the projection joins CORPUS-scale mentions against the
         # dimension-scale surface assignment: broadcast the small side so
         # the mention table never shuffles here. Size-gated on the n_surf
@@ -716,6 +745,8 @@ def link(
         clusters.count()
         mark("clusters materialize", _t0)
     unpersist = [surfaces0, s_keyed, s_sizes, s_embs, *_op_caches]
+    if store is None:
+        unpersist.append(m_narrow)
     if edges_persisted:
         unpersist.append(edges)
     if verbose and store is None:

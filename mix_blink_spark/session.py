@@ -21,19 +21,39 @@ _BASE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / mapInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # keep Arrow batches ~10 MB even for 80KB binary cells: big batches
+    # keep Arrow batches ~10-16 MB even for 80KB binary cells: big batches
     # collapse throughput at parallelism (measured on the 120k x 80KB
     # scan+extract stage: 1024-row batches = 80MB each -> 30.5s at
     # local[8] / 82s at local[32]; 128-row batches -> 17.3s / 26s).
-    # Spark has no bytes-based batch cap (only maxRecordsPerBatch), so the
-    # row cap is sized for the heaviest column in the workload.
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "128",
+    # Round 8: Spark 4 has the bytes-based cap the old comment wished for
+    # (spark.sql.execution.arrow.maxBytesPerBatch) — cap BYTES at 16 MB
+    # (80 KB html cells self-limit to ~200 rows/batch, preserving the
+    # measured heavy-cell behavior) and let ROW count go to the Spark
+    # default 10k so thin rows (embeddings, norm strings, pair scores) no
+    # longer pay a Python-call + argpartition round trip per 128 rows.
+    # Measured: the 20k-query knn mapInPandas stage and the JW pair kernel
+    # were batch-count-bound at 128 (see OPTIMIZATION_r08.md).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(16 * 1024 * 1024),
     # Small dims (entity dictionary) must broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Deterministic timestamps in tests.
     "spark.sql.session.timeZone": "UTC",
     # Don't let tiny local files produce one giant partition.
     "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
+    # Parquet codec for everything this engine WRITES (the bench corpus,
+    # index/candidate stores, test fixtures). Local default "uncompressed":
+    # the bench corpus is page-cache-resident and the scan is DECOMPRESS-
+    # bound, not IO-bound — measured on the 80 KB-page corpus row groups:
+    # snappy 4.6k pages/s, zstd 4.9k, lz4 7.3k, uncompressed 14.5k (3.2x)
+    # at warm cache (round 8). On a real cluster reading cold object
+    # storage the trade flips (storage + NIC bytes dominate): set
+    # SPARK_GRAFT_PARQUET_CODEC=zstd there, per the optimization guide's
+    # I/O section. Env-parameterised, not hard-coded, for exactly that
+    # reason.
+    "spark.sql.parquet.compression.codec": os.environ.get(
+        "SPARK_GRAFT_PARQUET_CODEC", "uncompressed"
+    ),
     "spark.ui.enabled": "false",
     # managed-table home for bucketed tables (static conf; set at startup)
     "spark.sql.warehouse.dir": os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/mbs-warehouse"),

@@ -245,14 +245,91 @@ def read_pages_extracted_python(
             [],
             ", ".join(f"{c} {col_ddl[c]}" for c in columns) + ", text string",
         )
+    # Split-to-task granularity (round 8): one PARTITION per row group
+    # made every row group a separate Spark task, and a mapInPandas task
+    # costs ~160 ms of fixed protocol overhead on this host (measured:
+    # 160 near-empty tasks = 25.9 s at local[1], 16 = 3.0 s, 1 = 0.66 s —
+    # linear). The gen() loop already processes every split row in its
+    # partition, so tasks amortize that cost over many row groups; keep
+    # 2x defaultParallelism partitions (floor 16 so the downstream
+    # io_slots coalesce and speculation still have granularity to work
+    # with). Row groups are uniformly sized, round-robin spread — balance
+    # is unchanged.
+    dp = spark.sparkContext.defaultParallelism
+    n_parts = min(len(frags), max(2 * dp, 16))
+    # resolved at plan time on the driver (closure-captured): worker env
+    # is not part of this knob's contract
+    import os as _os
+
+    _read_threads = _os.environ.get("SPARK_GRAFT_READ_THREADS", "0") == "1"
     splits = spark.createDataFrame(
         frags, "path string, rg int, pkeys string"
-    ).repartition(len(frags))
+    ).repartition(n_parts)
 
     out_cols = list(columns) + ["text"]
 
     def gen(batches):
+        import numpy as _np
         import pyarrow.parquet as pq
+
+        def decode_chunk(chunk) -> list:
+            """Per-value ``bytes.decode("utf-8", errors="replace")`` of a
+            binary Arrow chunk, reading straight off the chunk's offsets +
+            data buffers via memoryview slices (round-8: the old
+            ``v.as_buffer().to_pybytes()`` materialized one extra full
+            copy of every 80 KB html cell — ~19 GB of pure memcpy per
+            bench corpus pass — plus a Buffer object per value; the
+            memoryview slice decodes from the SAME bytes with zero copy).
+            Byte-identical by construction: ``str(mv, "utf-8", "replace")``
+            on the value's exact byte range IS ``bytes.decode`` on it.
+            Null-bearing or offset-typed-unknown chunks fall back to the
+            scalar path (correctness first)."""
+            import pyarrow as _pa
+
+            bufs = chunk.buffers()
+            off_buf = bufs[1]
+            if (
+                chunk.null_count == 0
+                and off_buf is not None
+                and _pa.types.is_binary(chunk.type)
+            ):
+                o0 = chunk.offset
+                offs = _np.frombuffer(
+                    off_buf, dtype=_np.int32, count=len(chunk) + 1 + o0
+                )[o0:]
+                mv = memoryview(bufs[2])
+                return [
+                    str(mv[offs[i] : offs[i + 1]], "utf-8", "replace")
+                    for i in range(len(chunk))
+                ]
+            return [
+                v.as_buffer().to_pybytes().decode("utf-8", errors="replace")
+                if v.is_valid
+                else None
+                for v in chunk
+            ]
+
+        # Arrow-internal threading for the row-group read. Default OFF
+        # (round 8): a Spark task owns ONE core of its executor's budget;
+        # pyarrow's default pool grabs every HOST core per task, which (a)
+        # oversubscribes any multi-task stage — the measured reason the
+        # scan needed a concurrency cap at local[32] — and (b) silently
+        # inflates low-parallelism legs with cores the contract didn't
+        # grant (a local[1] "1-core" run was really a 32-thread read).
+        # Spark-level parallelism replaces it honestly: same aggregate
+        # throughput at every level, no contention cliff. Env knob for
+        # single-reader deployments where the pool is genuinely free.
+        use_threads = _read_threads
+        # one ParquetFile (footer parse + mmap) per distinct file per task:
+        # tasks now carry many row groups (see n_parts above), and several
+        # of a task's splits usually share a file
+        pf_cache: dict = {}
+
+        def pfile(p):
+            f = pf_cache.get(p)
+            if f is None:
+                f = pf_cache[p] = pq.ParquetFile(p, memory_map=True)
+            return f
 
         for pdf in batches:
             for path_, rg, pk_json in zip(pdf["path"], pdf["rg"], pdf["pkeys"]):
@@ -269,17 +346,13 @@ def read_pages_extracted_python(
                 # materialized copy before decode: same kernel scales
                 # near-linearly (14.9k -> 59.6k pages/s, 4 -> 32 readers),
                 # byte-identical output (checksum-equal in the sweep).
-                tbl = pq.ParquetFile(path_, memory_map=True).read_row_group(
-                    int(rg), columns=phys_cols + ["html"]
+                tbl = pfile(path_).read_row_group(
+                    int(rg), columns=phys_cols + ["html"], use_threads=use_threads
                 )
                 texts = [
-                    extract_text_str(
-                        v.as_buffer().to_pybytes().decode("utf-8", errors="replace")
-                    )
-                    if v.is_valid
-                    else None
+                    extract_text_str(s) if s is not None else None
                     for chunk in tbl.column("html").chunks
-                    for v in chunk
+                    for s in decode_chunk(chunk)
                 ]
                 d = tbl.drop_columns("html").to_pandas()
                 for c in columns:
