@@ -94,42 +94,36 @@ def lang_id(text: Column) -> Column:
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 5) -> DataFrame:
     """Rolling-hash document fingerprint: the lexicographic min md5 over all
     ``w``-token windows (winnowing with a single global window). Robust to
-    local edits away from the minimizing window.
+    local edits away from the minimizing window; portable to SQL via
+    lead() + min().
 
-    Round 8 (optimization guide §2.4 — remove shuffles outright): computed
-    as a pure PROJECTION over the token array (``transform`` + ``slice`` +
-    ``array_min``), replacing the posexplode → Exchange → 2×Window →
-    SortAggregate plan that shuffled one row per token (the old plan
-    shuffled ~4M rows at sf1.0 for a 50k-row answer). Per-row equivalence
-    with the old lead()-window form:
+    Round-8 note (kept as-is deliberately): an "optimized" shuffle-free
+    rewrite via transform(sequence, i -> md5(array_join(slice(toks,i,w))))
+    was built and MEASURED SLOWER — 17 s vs 2.8 s on 50k docs at 32 cores
+    even with the input repartitioned — because lambda bodies inside
+    higher-order functions evaluate interpreted, ~6x the per-call cost of
+    this plan's whole-stage-codegen'd md5 over exploded rows. The
+    one-row-per-token exchange is the cheaper half of the trade here."""
+    from pyspark.sql.window import Window as W
 
-      - n >= w tokens: windows i = 1..n-w+1 (1-based slice) are exactly
-        the old plan's pos = 0..n-w rows, each md5 over the same
-        space-joined w tokens; ``array_min`` is the old ``min(md5)``.
-      - n < w: the old plan kept only the pos-0 row whose concat_ws
-        skipped the null leads — the whole token list joined — which is
-        ``array_join(toks, " ")`` verbatim.
-      - NULL text: ``split`` is NULL, the fingerprint expression is NULL
-        and the row is filtered — the old posexplode emitted no row.
-
-    The residual groupBy preserves the old contract for duplicate ids
-    (min over every row's windows) and the (id, fingerprint) schema; it
-    shuffles one tiny row per document, not one per token."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    n = F.size(toks)
-    win_mins = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(w - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")),
-        )
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
     )
-    fp = F.when(n >= w, win_mins).otherwise(F.md5(F.array_join(toks, " ")))
-    return (
-        docs.select(F.col(id_col).cast("string").alias("id"), fp.alias("_fp"))
-        .filter(F.col("_fp").isNotNull())
-        .groupBy("id")
-        .agg(F.min("_fp").alias("fingerprint"))
+    win = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(win) for i in range(1, w)]
+    # concat_ws skips nulls, so at pos 0 of a short doc the "window" is the
+    # whole text — kept as the fallback fingerprint for docs with < w tokens.
+    shingled = toks.select(
+        "id",
+        "pos",
+        F.concat_ws(" ", *parts).alias("sh"),
+        F.lead("tok", w - 1).over(win).alias("_last"),
+        F.max("pos").over(W.partitionBy("id")).alias("_maxpos"),
+    ).filter(
+        F.col("_last").isNotNull() | ((F.col("pos") == 0) & (F.col("_maxpos") < w - 1))
     )
+    return shingled.groupBy("id").agg(F.min(F.md5("sh")).alias("fingerprint"))
 
 
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -361,8 +361,22 @@ def embedding_neardup_pairs(
         # scheduling overhead to a sub-second job.
         qparts = None
         if n > 4096:
+            import os as _os
+
+            # per-HOST cap on concurrent scoring tasks, same physics as
+            # the scan's io_slots: each 1024-query chunk streams a
+            # ~|candidates| x 8 B score matrix (160 MB at 20k candidates),
+            # so the stage is memory-bandwidth-bound and this host's
+            # bandwidth collapses past ~8 concurrent streams (bench membw
+            # ladder; measured at 20k x 20k: 8 tasks = 3.5 s stable, 19 =
+            # 4.8-5.9 s, 32 = 1.3-7.5 s erratic). On a multi-executor
+            # cluster the cap is per executor group and total concurrency
+            # grows with hosts. 0 disables.
+            slots = int(_os.environ.get("SPARK_GRAFT_KNN_SLOTS", "8"))
             sc = data.sparkSession.sparkContext
-            qparts = min(sc.defaultParallelism, max(2, n // 2048))
+            qparts = min(sc.defaultParallelism, max(2, n // 1024))
+            if slots:
+                qparts = min(qparts, slots)
         hits = brute_force_topk(
             data, data, k=k, id_col=id_col, emb_col=emb_col,
             query_partitions=qparts,

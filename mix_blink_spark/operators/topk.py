@@ -73,39 +73,51 @@ def knn_broadcast(
     kk = k
     meas = measure
 
+    # Bound the per-chunk score matrix: an Arrow batch can be 10k rows
+    # (session bytes-cap), and 10k queries x a 20k-candidate matrix is a
+    # 1.6 GB float64 intermediate per batch plus an equally large
+    # argpartition — re-chunk so each matmul/argpartition works on at
+    # most CHUNK query rows (~160 MB at 20k candidates). Output is
+    # row-wise, so chunking is invisible in the result.
+    CHUNK = 1024
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = b_mat.value
         ids = np.asarray(b_ids.value)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for big in batches:
+            if len(big) == 0:
                 continue
-            q = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            if meas == "cos":
-                q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-            if meas in ("ip", "cos"):
-                scores = q @ m.T
-                order_scores = -scores
-            else:  # squared l2 via ||q||² - 2q·c + ||c||²
-                scores = (
-                    (q * q).sum(axis=1, keepdims=True)
-                    - 2.0 * (q @ m.T)
-                    + (m * m).sum(axis=1)
-                )
-                order_scores = scores
-            n = scores.shape[1]
-            take = min(kk, n)
-            part = np.argpartition(order_scores, take - 1, axis=1)[:, :take]
-            inner = np.argsort(np.take_along_axis(order_scores, part, axis=1), axis=1, kind="stable")
-            idx = np.take_along_axis(part, inner, axis=1)  # (rows, take) sorted best-first
-            nq = len(pdf)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), take),
-                    "hit_id": ids[idx.ravel()],
-                    "score": np.take_along_axis(scores, idx, axis=1).ravel(),
-                    "rank": np.tile(np.arange(1, take + 1, dtype=np.int32), nq),
-                }
+            for c0 in range(0, len(big), CHUNK):
+                yield from _score_chunk(big.iloc[c0 : c0 + CHUNK], m, ids)
+
+    def _score_chunk(pdf: pd.DataFrame, m, ids) -> Iterator[pd.DataFrame]:
+        q = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        if meas == "cos":
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        if meas in ("ip", "cos"):
+            scores = q @ m.T
+            order_scores = -scores
+        else:  # squared l2 via ||q||² - 2q·c + ||c||²
+            scores = (
+                (q * q).sum(axis=1, keepdims=True)
+                - 2.0 * (q @ m.T)
+                + (m * m).sum(axis=1)
             )
+            order_scores = scores
+        n = scores.shape[1]
+        take = min(kk, n)
+        part = np.argpartition(order_scores, take - 1, axis=1)[:, :take]
+        inner = np.argsort(np.take_along_axis(order_scores, part, axis=1), axis=1, kind="stable")
+        idx = np.take_along_axis(part, inner, axis=1)  # (rows, take) sorted best-first
+        nq = len(pdf)
+        yield pd.DataFrame(
+            {
+                id_col: np.repeat(pdf[id_col].to_numpy(), take),
+                "hit_id": ids[idx.ravel()],
+                "score": np.take_along_axis(scores, idx, axis=1).ravel(),
+                "rank": np.tile(np.arange(1, take + 1, dtype=np.int32), nq),
+            }
+        )
 
     schema = f"{id_col} string, hit_id string, score double, rank int"
     return queries.select(id_col, emb_col).mapInPandas(compute, schema=schema)
