@@ -116,8 +116,19 @@ def ngram_jaccard_pairs(
                 f"hot_df_warn=None to silence.",
                 stacklevel=2,
             )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    join_side = sh
+    # Set sizes ride the shingle rows as a window count (round 8): the
+    # old plan aggregated a separate sizes table and joined it back onto
+    # the pair aggregate TWICE (a-side, b-side) — two extra joins and
+    # their broadcast builds per run. A count over the id partition is
+    # the identical bigint (sizes always count ALL shingles — the window
+    # is applied BEFORE any max_df filter, preserving exact-jaccard
+    # semantics w.r.t. the full sets), and min() over a per-group
+    # constant recovers it after the pair aggregate. Measured 2.72 →
+    # 1.33 s median on the bench slice, rows identical.
+    from pyspark.sql.window import Window
+
+    sh2 = sh.withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+    join_side = sh2
     if max_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -125,18 +136,20 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        join_side = sh.join(rare, "shingle")
+        join_side = sh2.join(rare, "shingle")
     inter = (
         join_side.alias("x")
         .join(join_side.alias("y"), "shingle")
         .filter(F.col("x.id") < F.col("y.id"))
         .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("x.sz").alias("sza"),
+            F.min("y.sz").alias("szb"),
+        )
     )
     out = (
-        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
         )
@@ -158,19 +171,38 @@ def minhash_signatures(
     and the min is lexicographic over hex strings — engine-portable, no
     integer conversion needed. sig = '-'-joined row minima of one band."""
     sh = token_shingles(docs, n, id_col, text_col)
-    b = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    r = F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("row")
-    expanded = sh.select("id", "shingle", b).select("id", "shingle", "band", r)
-    hashed = expanded.select(
-        "id",
-        "band",
-        "row",
-        F.md5(F.concat_ws(":", F.col("band"), F.col("row"), F.col("shingle"))).alias("h"),
+    # One aggregation pass (round 8): the old plan exploded every shingle
+    # row bands x rows times and ran two groupBy exchanges (per-(id,band,
+    # row) minima, then per-(id,band) signature assembly). The (band,row)
+    # grid is a compile-time constant, so each minimum is its own agg
+    # expression over the UN-exploded shingles — same md5 inputs
+    # (concat_ws casts the literal band/row ints exactly as it cast the
+    # exploded int columns), same lexicographic minima — and the
+    # signature is the row-minima joined in row order, which is what the
+    # old sort_array(collect_list(struct(row, mh))) produced. One shuffle
+    # of 1/(bands·rows) the rows, one stage instead of two.
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(b), F.lit(r), F.col("shingle")))
+        ).alias(f"_m_{b}_{r}")
+        for b in range(bands)
+        for r in range(rows)
+    ]
+    per_id = sh.groupBy("id").agg(*aggs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(f"_m_{b}_{r}") for r in range(rows)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
     )
-    row_min = hashed.groupBy("id", "band", "row").agg(F.min("h").alias("mh"))
     return (
-        row_min.groupBy("id", "band")
-        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("row", "mh"))).mh, "-").alias("sig"))
+        per_id.select("id", F.explode(band_structs).alias("_bs"))
+        .select("id", F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig"))
     )
 
 
@@ -249,25 +281,23 @@ def simhash(
         F.col(id_col).cast("string").alias("id"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     ).filter(F.length("tok") > 0)
-    pos = tok.select(
-        "id", "tok", F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("pos")
-    )
-    votes = pos.select(
-        "id",
-        "pos",
-        F.when(
-            F.substring(F.md5(F.col("tok")), F.col("pos"), 1).isin(
-                *"89abcdef"
-            ),
-            1,
-        )
-        .otherwise(-1)
-        .alias("v"),
-    )
-    per_bit = votes.groupBy("id", "pos").agg(F.sum("v").alias("s"))
-    bit = F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0"))
-    return (
-        per_bit.select("id", "pos", bit.alias("bit"))
-        .groupBy("id")
-        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("pos", "bit"))).bit, "").alias("simhash"))
-    )
+    # One aggregation pass (round 8, same shape as minhash_signatures):
+    # the bit positions are a compile-time constant, so instead of
+    # exploding every token ``bits`` times and shuffling twice
+    # (per-(id,pos) vote sums, then per-id assembly), md5(tok) is hashed
+    # once per token row and each bit's vote sum is its own agg
+    # expression. Identical votes (same substring of the same md5), so
+    # identical sums, bits and concatenation order.
+    h = F.md5(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.substring(h, p, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"_s_{p}")
+        for p in range(1, bits + 1)
+    ]
+    per_id = tok.groupBy("id").agg(*aggs)
+    bit_chars = [
+        F.when(F.col(f"_s_{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(1, bits + 1)
+    ]
+    return per_id.select("id", F.concat(*bit_chars).alias("simhash"))
