@@ -277,27 +277,38 @@ def simhash(
     nibble), summed over all tokens; bit = 1 when the vote is >= 0.
     Pure column expressions + one groupBy — portable to the SQL oracle.
     """
+    # Round-8 note (kept as-is deliberately): a one-pass rewrite with the
+    # 16 bit-position vote sums as separate aggregate expressions over
+    # un-exploded token rows (the shape that helped minhash_signatures)
+    # was built and MEASURED SLOWER in interleaved A/B — 0.49-0.62 s vs
+    # 0.33-0.39 s at both sf0.1 and sf1.0: aggregate expression children
+    # are not common-subexpression-eliminated across the 16 sums, so the
+    # md5 ran per-expression while the wide 16-accumulator hash aggregate
+    # lost to the old plan's codegen'd narrow sums. The explode plan
+    # stays.
     tok = docs.select(
         F.col(id_col).cast("string").alias("id"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     ).filter(F.length("tok") > 0)
-    # One aggregation pass (round 8, same shape as minhash_signatures):
-    # the bit positions are a compile-time constant, so instead of
-    # exploding every token ``bits`` times and shuffling twice
-    # (per-(id,pos) vote sums, then per-id assembly), md5(tok) is hashed
-    # once per token row and each bit's vote sum is its own agg
-    # expression. Identical votes (same substring of the same md5), so
-    # identical sums, bits and concatenation order.
-    h = F.md5(F.col("tok"))
-    aggs = [
-        F.sum(
-            F.when(F.substring(h, p, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"_s_{p}")
-        for p in range(1, bits + 1)
-    ]
-    per_id = tok.groupBy("id").agg(*aggs)
-    bit_chars = [
-        F.when(F.col(f"_s_{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(1, bits + 1)
-    ]
-    return per_id.select("id", F.concat(*bit_chars).alias("simhash"))
+    pos = tok.select(
+        "id", "tok", F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("pos")
+    )
+    votes = pos.select(
+        "id",
+        "pos",
+        F.when(
+            F.substring(F.md5(F.col("tok")), F.col("pos"), 1).isin(
+                *"89abcdef"
+            ),
+            1,
+        )
+        .otherwise(-1)
+        .alias("v"),
+    )
+    per_bit = votes.groupBy("id", "pos").agg(F.sum("v").alias("s"))
+    bit = F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0"))
+    return (
+        per_bit.select("id", "pos", bit.alias("bit"))
+        .groupBy("id")
+        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("pos", "bit"))).bit, "").alias("simhash"))
+    )
