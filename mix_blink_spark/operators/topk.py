@@ -77,9 +77,13 @@ def knn_broadcast(
     # (session bytes-cap), and 10k queries x a 20k-candidate matrix is a
     # 1.6 GB float64 intermediate per batch plus an equally large
     # argpartition — re-chunk so each matmul/argpartition works on at
-    # most CHUNK query rows (~160 MB at 20k candidates). Output is
-    # row-wise, so chunking is invisible in the result.
-    CHUNK = 1024
+    # most CHUNK query rows (~80 MB at 20k candidates). Output is
+    # row-wise, so chunking is invisible in the result. 512 measured the
+    # same single-process speed as 1024 (chunk ladder in
+    # OPTIMIZATION_r08.md) at half the per-task burst — the self-kNN
+    # stage runs next to memory-churning neighbors in the bench loop and
+    # the smaller footprint is worth more than the larger matmul.
+    CHUNK = 512
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = b_mat.value
