@@ -62,7 +62,7 @@ def main() -> None:
             qs[name](spark, args.sf_dir).count()
             samples[name].append(time.monotonic() - t0)
             spark.sparkContext.setJobDescription(None)
-    med = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    med = {n: round(statistics.median(v), 3) for n, v in samples.items() if v}
     out = {
         "sf_dir": args.sf_dir,
         "cpus": args.cpus,
