@@ -43,6 +43,63 @@ _RE_WS = re.compile(r"[ \t\r\n]+")
 # str.translate table mapping \t \n \r -> " " (see _norm_ws)
 _WS_TABLE = {9: 32, 10: 32, 13: 32}
 
+_CLOSE_LIT = {t: "</" + t + ">" for t in ("script", "style", "nav", "footer", "head")}
+# Pivot char for the memchr candidate scan in _find_close: (char, offset of
+# that char inside the close literal). Chosen to be rare in the region each
+# tag's close search actually walks — '<' for script/style (JS/CSS bodies are
+# nearly '<'-free), the tag's first letter for the markup-heavy head and the
+# body-embedded nav/footer. A bad choice only costs candidate rejections,
+# which the 64-rejection bail bounds.
+_CLOSE_PIVOT = {
+    "script": ("<", 0),
+    "style": ("<", 0),
+    "nav": ("n", 2),
+    "footer": ("f", 2),
+    "head": ("h", 2),
+}
+
+
+def _find_close(s: str, tag: str, start: int) -> int:
+    """Index of the first case-insensitive ``</tag>`` at or after ``start``,
+    or -1 — byte-equivalent to ``_RE_CLOSE[tag].search(s, start).start()``
+    for ASCII ``s`` (callers gate on ``s.isascii()``; ASCII-only strings
+    cannot contain the exotic casefold equivalents — Kelvin sign, long s —
+    that re.IGNORECASE would otherwise admit).
+
+    Mechanism: CPython's multi-char ``str.find`` degrades to ~0.6 GB/s here
+    because its bad-char skip keys on the needle's LAST char and '>' occurs
+    at every tag, while single-char find is a ~59 GB/s memchr. So candidates
+    are enumerated by memchr on a rare pivot char (both cases, earliest
+    first) and verified with a 7-9 char slice compare; pivot positions are
+    strictly increasing, so the first verified candidate is the regex's own
+    leftmost match. After 64 rejected candidates (pathological pivot
+    density) the frozen regex finishes the scan from the first unchecked
+    position — worst case is the old cost plus a bounded constant.
+    """
+    lit = _CLOSE_LIT[tag]
+    c, off = _CLOSE_PIVOT[tag]
+    cu = c.upper()
+    n = len(lit)
+    ln = len(s)
+    pos = start + off
+    rejected = 0
+    while True:
+        j = s.find(c, pos)
+        limit = j if j >= 0 else ln
+        j2 = s.find(cu, pos, limit)
+        if j2 >= 0:
+            j = j2
+        if j < 0:
+            return -1
+        m = j - off
+        if m >= start and s[m : m + n].lower() == lit:
+            return m
+        rejected += 1
+        if rejected > 64:
+            cm = _RE_CLOSE[tag].search(s, max(start, j - off + 1))
+            return cm.start() if cm else -1
+        pos = j + 1
+
 
 def _norm_ws(s: str) -> str:
     """Byte-identical fast path for ``_RE_WS.sub(" ", s).strip()``: after
@@ -63,29 +120,44 @@ def _drop_blocks(s: str) -> str:
     """Byte-identical fast path for ``_RE_DROP.sub(" ", s)``: the
     non-greedy ``.*?</\\1>`` scan steps the regex engine per character
     (~100 MB/s and 95% of kernel time on boilerplate-heavy pages); here
-    the closing tag is located with memchr-speed ``str.find`` on a
-    one-pass lowercased copy instead. Unclosed blocks are left in place
-    (later stripped as bare tags), exactly like the failing regex match.
+    the closing tag is located by ``_find_close``'s memchr pivot scan for
+    ASCII pages (~9 GB/s; round 8 — the IGNORECASE literal regex itself
+    measured only ~1.4 GB/s and was 82% of the remaining kernel), with
+    the literal close-tag regex kept for non-ASCII pages, where exotic
+    casefold equivalents exist and ``str.lower()`` is not
+    length-preserving. Unclosed blocks are left in place (later stripped
+    as bare tags), exactly like the failing regex match.
+
+    Known PRE-EXISTING divergence vs the ``_RE_DROP`` spec (unchanged by
+    the round-8 fast path, which only touches the ASCII branch): on
+    non-ASCII pages a close tag spelled with an exotic casefold
+    equivalent (``</ſcript>``, long s) matches the literal IGNORECASE
+    ``_RE_CLOSE`` here but NOT ``_RE_DROP``'s backreference ``</\\1>``
+    (sre backrefs compare via simple lowercase, which maps ſ to itself).
+    The differential fuzz deliberately cannot compose such closes.
     """
     m = _RE_OPEN.search(s)
     if m is None:
         return s
+    asc = s.isascii()
     out = []
     emit = 0
     while m is not None:
         tag = m.group(1).lower()
-        # literal close-tag regex (IGNORECASE) instead of find on a
-        # lowercased copy: str.lower() is not length-preserving for some
-        # Unicode chars, which would misalign indices
-        cm = _RE_CLOSE[tag].search(s, m.end())
-        if cm is None:
+        if asc:
+            cs = _find_close(s, tag, m.end())
+            ce = cs + len(_CLOSE_LIT[tag]) if cs >= 0 else -1
+        else:
+            cm = _RE_CLOSE[tag].search(s, m.end())
+            ce = cm.end() if cm else -1
+        if ce < 0:
             # no closing tag: regex backtracks and never matches here —
             # resume the scan one char later, emitting nothing yet
             nxt = m.start() + 1
         else:
             out.append(s[emit : m.start()])
             out.append(" ")
-            emit = nxt = cm.end()
+            emit = nxt = ce
         m = _RE_OPEN.search(s, nxt)
     out.append(s[emit:])
     return "".join(out)

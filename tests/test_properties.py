@@ -73,6 +73,10 @@ _HTML_TOKENS = [
     "&amp;", "&nbsp;", "<", ">", " ", "\n", "a<b", "x>y", "<script",
     "</scriptx>", "<footer>", "</footer>", "<script >", "</ script>",
     "<styleX>", "<script<p>", "</SCRIPT>", "<navfoo>", "İstanbul", "ß", "ﬁ",
+    # pivot pathologies for _find_close (round 8): dense pivot chars force
+    # candidate rejections / the 64-rejection regex bail; mixed-case closes
+    # exercise the uppercase memchr leg and the slice ci-verify
+    "hhhhhhhh", "HHHH", "<<<<", "nnn", "fff", "</HeAd>", "</NAV>", "</FooTer>",
 ]
 
 
@@ -86,6 +90,29 @@ def test_drop_blocks_differential_vs_regex(parts):
 
     s = "".join(parts)
     assert _drop_blocks(s) == _RE_DROP.sub(" ", s)
+
+
+def test_drop_blocks_pivot_bail_and_case_paths():
+    """Deterministic corners of the round-8 _find_close pivot scan: the
+    >64-rejection regex bail, uppercase-pivot-first candidates, mixed-case
+    closes, unclosed blocks behind dense pivots, and the non-ASCII gate."""
+    from mix_blink_spark.functions.text import _RE_DROP, _drop_blocks
+
+    cases = [
+        "<head>" + "h" * 200 + "</head>tail",          # 200 rejected pivots -> bail
+        "<head>" + "Hh" * 100 + "</HEAD>tail",         # bail via mixed pivots, CI close
+        "<head>x</HEAD>y",                              # uppercase close, no bail
+        "<head>Habc h</head>z",                         # uppercase pivot before the match
+        "<script>a<b<c</script>d",                      # pivot '<' rejections
+        "<script>" + "<" * 100 + "</script>d",          # '<' bail path
+        "<nav>" + "n" * 70 + "</nav>e",                 # nav pivot bail
+        "<footer>fff</footer>g",                        # footer pivot rejections
+        "<head>" + "h" * 200 + "no close at all",       # bail with NO close -> unclosed
+        "<head>hh</head位>x</head>y",                    # non-ASCII: regex path
+        "<style>.a{}</style><script>s</script>",        # multiple blocks
+    ]
+    for s in cases:
+        assert _drop_blocks(s) == _RE_DROP.sub(" ", s), repr(s)
 
 
 @settings(max_examples=50, deadline=None)
