@@ -293,7 +293,10 @@ def fused_me_top1(
             # ambiguous). The check is one C-speed scan per chunk,
             # negligible next to the JW kernel.
             for idc in ("a", "b"):
-                if pdf[idc].str.contains("\x00", regex=False).any():
+                # na=False: a null id can't contain a NUL, and without it
+                # the NA result makes .any() dtype-dependent (object
+                # dtype skipna's it, pandas StringDtype propagates NA)
+                if pdf[idc].str.contains("\x00", regex=False, na=False).any():
                     raise ValueError(
                         f"fused_me_top1: column '{idc}' contains an id with "
                         "an embedded NUL byte; ids must be NUL-free — "

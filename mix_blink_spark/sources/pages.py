@@ -220,6 +220,14 @@ def read_pages_extracted_python(
     col_ddl = {
         c: _spark_ddl(dataset.schema.field(c).type) or "string" for c in columns
     }
+    # columns whose dataset type has no DDL mapping (decimal, binary,
+    # list, ...) are declared string above; gen() must actually coerce
+    # their values with str() or Spark's pandas->Arrow conversion fails
+    # at task time with raw Decimal/bytes/ndarray objects (round-8
+    # ADVICE: the comment promised this coercion, the code didn't do it)
+    str_fallback = [
+        c for c in columns if _spark_ddl(dataset.schema.field(c).type) is None
+    ]
     # partition-key transport: values ride the split rows as JSON; types
     # that JSON can carry natively (int/float/bool/str — covering every
     # hive-inferred partition type pyarrow produces for those) keep their
@@ -358,6 +366,9 @@ def read_pages_extracted_python(
                 for c in columns:
                     if c in pkeys:  # partition-key constant for this fragment
                         d[c] = pkeys[c]
+                for c in str_fallback:
+                    if c not in pkeys:  # pkeys values are already str here
+                        d[c] = d[c].map(str, na_action="ignore")
                 d["text"] = texts
                 yield d[out_cols]
 

@@ -192,6 +192,51 @@ def test_python_direct_reader_typed_partition_key(spark, tmp_path):
     assert j.filter(F.col("d_std") != F.col("d_new")).count() == 0
 
 
+def test_python_direct_reader_unmapped_type_str_fallback(spark, tmp_path):
+    """A physical column whose pyarrow type has no DDL mapping (decimal,
+    binary, ...) is declared string — gen() must actually coerce the raw
+    values with str() or the task-side pandas->Arrow conversion fails on
+    raw Decimal objects (round-8 ADVICE: the comment promised the
+    coercion, gen() didn't do it). Nulls must stay null, not 'None'."""
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.fixtures import corpus_dfs
+    from mix_blink_spark.sources.pages import read_pages_extracted_python
+
+    pages, _, _, _ = corpus_dfs(spark, seed=29, n_pages=30, n_entities=6)
+    path = str(tmp_path / "pages_decimal")
+    (
+        pages.withColumn(
+            "price",
+            F.when(
+                F.crc32("url") % 3 != 0,
+                (F.crc32("url") % 1000).cast("decimal(10,2)"),
+            ),
+        )
+        .select("url", "html", "price")
+        .write.parquet(path)
+    )
+
+    std = spark.read.parquet(path).select("url", F.col("price").alias("p_std"))
+    new = read_pages_extracted_python(spark, path, columns=("url", "price")).select(
+        "url", F.col("price").alias("p_new")
+    )
+    assert dict(new.dtypes)["p_new"] == "string"
+    j = std.join(new, "url")
+    assert j.count() == 30
+    # null positions preserved (not stringified to 'None')
+    assert j.filter(F.col("p_std").isNull() != F.col("p_new").isNull()).count() == 0
+    # non-null values are str() of the Decimal, which equals Spark's own
+    # decimal->string cast ('123.00' keeps its scale in both)
+    assert (
+        j.filter(
+            F.col("p_std").isNotNull()
+            & (F.col("p_new") != F.col("p_std").cast("string"))
+        ).count()
+        == 0
+    )
+
+
 def test_link_parquet_path_on_partitioned_layout(spark, tmp_path):
     """link() with a parquet path must work on the write_pages layout."""
     from mix_blink_spark.fixtures import corpus_dfs
