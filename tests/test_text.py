@@ -192,6 +192,112 @@ def test_python_direct_reader_typed_partition_key(spark, tmp_path):
     assert j.filter(F.col("d_std") != F.col("d_new")).count() == 0
 
 
+def test_python_direct_reader_date_timestamp_partition_keys(spark, tmp_path):
+    """Date/timestamp-SHAPED hive partition values must come back with
+    the same type and values as the standard Spark scan (round-7 VERDICT
+    item 5: they degraded to declared-string). Spark's inference is
+    strict — exactly 'yyyy-MM-dd' / 'yyyy-MM-dd HH:mm:ss', column-level
+    (one bad value demotes the whole key) — so the reader mirrors that
+    rule, including the demotion."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.fixtures import corpus_dfs
+    from mix_blink_spark.sources.pages import read_pages_extracted_python
+
+    pages, _, _, _ = corpus_dfs(spark, seed=31, n_pages=40, n_entities=8)
+
+    # date-typed partition key, plus a timestamp-typed one
+    for col, expr in (
+        (
+            "day",
+            F.to_date(
+                F.concat(
+                    F.lit("2024-03-0"), (F.crc32("url") % 2 + 1).cast("string")
+                )
+            ),
+        ),
+        (
+            "ts",
+            F.to_timestamp(
+                F.concat(
+                    F.lit("2024-03-01 10:30:0"),
+                    (F.crc32("url") % 2).cast("string"),
+                )
+            ),
+        ),
+    ):
+        path = str(tmp_path / f"pages_{col}_part")
+        (
+            pages.withColumn(col, expr)
+            .select("url", "html", col)
+            .write.partitionBy(col)
+            .parquet(path)
+        )
+        std = spark.read.parquet(path).select("url", F.col(col).alias("v_std"))
+        new = read_pages_extracted_python(spark, path, columns=("url", col)).select(
+            "url", F.col(col).alias("v_new")
+        )
+        # dtype parity with the standard scan (date/timestamp, not string)
+        assert dict(new.dtypes)["v_new"] == dict(std.dtypes)["v_std"], col
+        j = std.join(new, "url")
+        assert j.count() == 40, col
+        assert j.filter(F.col("v_std") != F.col("v_new")).count() == 0, col
+
+    # column-level demotion: one non-date value anywhere -> string in
+    # BOTH scans (Spark demotes the whole column; the reader must agree)
+    mixed = str(tmp_path / "pages_mixed_part")
+    (
+        pages.withColumn(
+            "day",
+            F.when(F.crc32("url") % 2 == 0, F.lit("2024-03-01")).otherwise(
+                F.lit("unknown")
+            ),
+        )
+        .select("url", "html", "day")
+        .write.partitionBy("day")
+        .parquet(mixed)
+    )
+    std = spark.read.parquet(mixed).select("url", F.col("day").alias("v_std"))
+    new = read_pages_extracted_python(spark, mixed, columns=("url", "day")).select(
+        "url", F.col("day").alias("v_new")
+    )
+    assert dict(std.dtypes)["v_std"] == "string"
+    assert dict(new.dtypes)["v_new"] == "string"
+    j = std.join(new, "url")
+    assert j.count() == 40
+    assert j.filter(F.col("v_std") != F.col("v_new")).count() == 0
+
+    # null partition value (__HIVE_DEFAULT_PARTITION__) must stay null
+    # beside real dates, and the key must stay date-typed, like the
+    # standard scan — not the string 'None'
+    nullp = str(tmp_path / "pages_null_part")
+    (
+        pages.withColumn(
+            "day",
+            F.when(F.crc32("url") % 3 != 0, F.to_date(F.lit("2024-03-01"))),
+        )
+        .select("url", "html", "day")
+        .write.partitionBy("day")
+        .parquet(nullp)
+    )
+    assert any(
+        e.startswith("day=__HIVE_DEFAULT_PARTITION__") for e in os.listdir(nullp)
+    )
+    std = spark.read.parquet(nullp).select("url", F.col("day").alias("v_std"))
+    new = read_pages_extracted_python(spark, nullp, columns=("url", "day")).select(
+        "url", F.col("day").alias("v_new")
+    )
+    assert dict(new.dtypes)["v_new"] == dict(std.dtypes)["v_std"] == "date"
+    j = std.join(new, "url")
+    assert j.count() == 40
+    assert j.filter(F.col("v_std").isNull() != F.col("v_new").isNull()).count() == 0
+    assert j.filter(
+        F.col("v_std").isNotNull() & (F.col("v_std") != F.col("v_new"))
+    ).count() == 0
+
+
 def test_python_direct_reader_unmapped_type_str_fallback(spark, tmp_path):
     """A physical column whose pyarrow type has no DDL mapping (decimal,
     binary, ...) is declared string — gen() must actually coerce the raw
