@@ -355,8 +355,13 @@ def read_pages_extracted_python(
             memoryview slice decodes from the SAME bytes with zero copy).
             Byte-identical by construction: ``str(mv, "utf-8", "replace")``
             on the value's exact byte range IS ``bytes.decode`` on it.
-            Null-bearing or offset-typed-unknown chunks fall back to the
-            scalar path (correctness first)."""
+            ``string`` chunks share binary's exact physical layout
+            (int32 offsets + data buffer) so the same path applies — the
+            bench corpus stores html as binary, but Spark-written
+            StringType html reads back as string and deserves the same
+            zero-copy decode. Null-bearing or offset-typed-unknown
+            chunks (large_*, int64 offsets) fall back to the scalar
+            path (correctness first)."""
             import pyarrow as _pa
 
             bufs = chunk.buffers()
@@ -364,7 +369,10 @@ def read_pages_extracted_python(
             if (
                 chunk.null_count == 0
                 and off_buf is not None
-                and _pa.types.is_binary(chunk.type)
+                and (
+                    _pa.types.is_binary(chunk.type)
+                    or _pa.types.is_string(chunk.type)
+                )
             ):
                 o0 = chunk.offset
                 offs = _np.frombuffer(

@@ -124,6 +124,44 @@ def test_python_direct_reader_byte_identical(spark, tmp_path):
     assert j.filter(F.col("warc_ts").isNull() | F.col("lang").isNull()).count() == 0
 
 
+def test_python_direct_reader_string_html_byte_identical(spark, tmp_path):
+    """STRING-typed html (what Spark writes for StringType columns — the
+    fixtures store BINARY) must take the reader's zero-copy decode path
+    and still produce byte-identical text to the standard scan; string
+    and binary share the same Arrow physical layout (round 8: the fast
+    path was binary-gated, leaving string html on the slow scalar
+    path)."""
+    from pyspark.sql import functions as F
+
+    from mix_blink_spark.fixtures import corpus_dfs
+    from mix_blink_spark.sources.pages import (
+        read_pages_extracted_python,
+        with_extracted_text,
+    )
+
+    pages, _, _, _ = corpus_dfs(spark, seed=37, n_pages=100, n_entities=12)
+    path = str(tmp_path / "pages_strhtml")
+    (
+        pages.select(
+            "url", F.decode(F.col("html"), "utf-8").alias("html"), "lang"
+        ).write.parquet(path)
+    )
+    assert dict(spark.read.parquet(path).dtypes)["html"] == "string"
+
+    # the standard extract kernel's contract is BINARY html, so the
+    # baseline extracts from the original binary frame — the string
+    # parquet holds the identical utf-8 round-tripped content
+    std = with_extracted_text(pages).select(
+        "url", F.col("extracted_text").alias("t_std")
+    )
+    new = read_pages_extracted_python(spark, path, columns=("url", "lang")).select(
+        "url", F.col("text").alias("t_new")
+    )
+    j = std.join(new, "url")
+    assert j.count() == 100
+    assert j.filter(F.col("t_std") != F.col("t_new")).count() == 0
+
+
 def test_python_direct_reader_hive_partitioned_layout(spark, tmp_path):
     """The reader must handle the repo's canonical write_pages layout
     (hive-partitioned by lang, warc_day): 'lang' is a DIRECTORY column
