@@ -114,15 +114,21 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     parts = [F.col("tok")] + [F.lead("tok", i).over(win) for i in range(1, w)]
     # concat_ws skips nulls, so at pos 0 of a short doc the "window" is the
     # whole text — kept as the fallback fingerprint for docs with < w tokens.
+    # Short-doc test: the original spec kept pos 0 when max(pos) < w-1 via a
+    # second (unordered) max-over-id window; but `doc shorter than w tokens`
+    # holds exactly when lead(tok, w-1) is NULL at pos 0 — lead() is NULL
+    # only past the partition end (split() never yields NULL tokens) — so
+    #   _last.isNotNull() | (pos==0 & _maxpos < w-1)
+    #   == _last.isNotNull() | (pos==0 & _last.isNull())  == _last.isNotNull() | pos==0
+    # and the whole second WindowExec pass over the token rows disappears
+    # (round 8; plan diff in plans/r08/fingerprint_after.txt, parity on the
+    # full documents table + oracle hash green).
     shingled = toks.select(
         "id",
         "pos",
         F.concat_ws(" ", *parts).alias("sh"),
         F.lead("tok", w - 1).over(win).alias("_last"),
-        F.max("pos").over(W.partitionBy("id")).alias("_maxpos"),
-    ).filter(
-        F.col("_last").isNotNull() | ((F.col("pos") == 0) & (F.col("_maxpos") < w - 1))
-    )
+    ).filter(F.col("_last").isNotNull() | (F.col("pos") == 0))
     return shingled.groupBy("id").agg(F.min(F.md5("sh")).alias("fingerprint"))
 
 
