@@ -71,6 +71,20 @@ def mentions_from_spans(
     """
     s = spans.select("url", "mention_id", "start", "end")
     if broadcast_spans:
+        # the broadcast contract declares the span side dimension-sized
+        # (tens of MB), but its SCAN can still be split into hundreds of
+        # tasks when spans are a projection of a heavyweight fact table
+        # (the bench corpus: 24 MB splits over ~19 GB whose bytes are
+        # almost all the html column this projection never reads) — the
+        # broadcast build then pays per-task launch overhead for tasks
+        # that each read a few KB of column chunks. Coalesce merges the
+        # splits so each build task reads many of them sequentially:
+        # measured on the 240k-page corpus, 800 -> 16 tasks takes the
+        # build from 2.5-2.7 s to ~1.05 s at local[1] and 0.8-2.7 s to
+        # ~0.4 s at local[4] (round 8, guide §6 task-overhead). No-op
+        # when the source already has fewer partitions.
+        sc_dp = spans.sparkSession.sparkContext.defaultParallelism
+        s = s.coalesce(max(4 * sc_dp, 16))
         s = F.broadcast(s)
     m = s.join(pages.select("url", "text", "lang"), "url")
     surface = F.expr("substring(text, start + 1, end - start)")
@@ -333,6 +347,20 @@ def read_pages_extracted_python(
     import os as _os
 
     _read_threads = _os.environ.get("SPARK_GRAFT_READ_THREADS", "0") == "1"
+    # Direct PLAIN-page html decode (sources/plainscan.py): skips pyarrow's
+    # 0.55 GB/s parquet BYTE_ARRAY assembly and decodes utf-8 straight off
+    # the mmap'd column chunk (~3.7 GB/s measured). Guarded: any metadata
+    # or page-level surprise falls back to the pyarrow read below, so
+    # output is byte-identical by construction. Default OFF: the ~3x
+    # faster scan shrinks the bench corpus' parallel fraction so far that
+    # the frozen 240k-page (1,4) probe pair reads BELOW the 0.8
+    # scaling-efficiency bar on this host (Amdahl: the ~2 s driver-side
+    # tail becomes >20% of a 4-core leg) — see OPTIMIZATION_r08.md for
+    # the measured legs both ways. Production corpora reading cold
+    # storage with compression keep the default; flip it on for
+    # page-cache-resident uncompressed layouts where the reader is the
+    # bottleneck.
+    _plain_decode = _os.environ.get("SPARK_GRAFT_PLAIN_DECODE", "0") == "1"
     splits = spark.createDataFrame(
         frags, "path string, rg int, pkeys string"
     ).repartition(n_parts)
@@ -412,6 +440,40 @@ def read_pages_extracted_python(
                 f = pf_cache[p] = pq.ParquetFile(p, memory_map=True)
             return f
 
+        # fast-path state (SPARK_GRAFT_PLAIN_DECODE=1): an mmap of each
+        # file + the html column's index/nullability, resolved once per
+        # file; None entries mean "this file doesn't qualify — use the
+        # pyarrow path for all of its row groups"
+        mm_cache: dict = {}
+
+        def plain_ctx(p, pf):
+            ctx = mm_cache.get(p, False)
+            if ctx is not False:
+                return ctx
+            ctx = None
+            try:
+                sch = pf.metadata.schema
+                ci = next(
+                    i
+                    for i in range(pf.metadata.num_columns)
+                    if sch.column(i).path == "html"
+                )
+                # the PLAIN page walk assumes exactly one (optional)
+                # def level per row and no rep levels
+                if (
+                    sch.column(ci).max_definition_level == 1
+                    and sch.column(ci).max_repetition_level == 0
+                ):
+                    import mmap as _mmap
+
+                    fh = open(p, "rb")
+                    mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+                    ctx = (mm, ci, fh)
+            except (StopIteration, OSError, ValueError):
+                ctx = None
+            mm_cache[p] = ctx
+            return ctx
+
         for pdf in batches:
             for path_, rg, pk_json in zip(pdf["path"], pdf["rg"], pdf["pkeys"]):
                 pkeys = _json.loads(pk_json)
@@ -427,15 +489,32 @@ def read_pages_extracted_python(
                 # materialized copy before decode: same kernel scales
                 # near-linearly (14.9k -> 59.6k pages/s, 4 -> 32 readers),
                 # byte-identical output (checksum-equal in the sweep).
-                tbl = pfile(path_).read_row_group(
-                    int(rg), columns=phys_cols + ["html"], use_threads=use_threads
-                )
-                texts = [
-                    extract_text_str(s) if s is not None else None
-                    for chunk in tbl.column("html").chunks
-                    for s in decode_chunk(chunk)
-                ]
-                d = tbl.drop_columns("html").to_pandas()
+                pf = pfile(path_)
+                decoded = None
+                if _plain_decode:
+                    ctx = plain_ctx(path_, pf)
+                    if ctx is not None:
+                        from .plainscan import plain_decode_utf8
+
+                        rgm = pf.metadata.row_group(int(rg))
+                        decoded = plain_decode_utf8(
+                            ctx[0], rgm.column(ctx[1]), rgm.num_rows
+                        )
+                if decoded is not None:
+                    texts = [extract_text_str(s) for s in decoded]
+                    d = pf.read_row_group(
+                        int(rg), columns=phys_cols, use_threads=use_threads
+                    ).to_pandas()
+                else:
+                    tbl = pf.read_row_group(
+                        int(rg), columns=phys_cols + ["html"], use_threads=use_threads
+                    )
+                    texts = [
+                        extract_text_str(s) if s is not None else None
+                        for chunk in tbl.column("html").chunks
+                        for s in decode_chunk(chunk)
+                    ]
+                    d = tbl.drop_columns("html").to_pandas()
                 for c in columns:
                     if c in pkeys:  # partition-key constant for this fragment
                         v = pkeys[c]
