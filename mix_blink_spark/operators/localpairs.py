@@ -307,15 +307,50 @@ def local_me_pairs(
     ib = np.fromiter((p[1] for p in items), np.int64, len(items))
     na = [surfs[i][1] for i in ia]
     nb = [aliases[i][1] for i in ib]
-    dense, jw, lev_sim, score = _score(ia, ib, s_mat, a_mat, na, nb, measure, dense_weight)
+    # Only each surface's top-1 candidate survives, so the Levenshtein DP
+    # (the dominant cost of this tail at bench vocabulary — ~60% of the
+    # kernel) only needs to run where a pair could still win. Exact
+    # bounds: lev >= |la-lb| gives lev_sim <= 1 - |la-lb|/ml (ub), and
+    # lev_sim >= 0 gives score >= dw*dense + (1-dw)*jw (lb). A pair whose
+    # ub-score is below its surface's best lb-score is strictly worse
+    # than the true winner (winner's exact score >= every lb), so
+    # dropping it cannot change the argmax or its emitted values; ties at
+    # equality are kept (>=). Winners' (dense, jw, lev, score) are
+    # computed with the identical float64 expressions as _score, so the
+    # output rows are bit-identical to the unpruned path (parity-gated in
+    # tests/test_pipeline_e2e.py against the distributed operators).
+    dense = _dense_np(
+        s_mat[ia].astype(np.float64), a_mat[ib].astype(np.float64), measure
+    )
+    dense_sim = (1.0 / (1.0 + dense)) if measure == "l2" else dense
+    jw = jaro_winkler_np(na, nb)
+    la = np.fromiter((len(s) for s in na), np.int64, len(na))
+    lb_ = np.fromiter((len(s) for s in nb), np.int64, len(nb))
+    ml = np.maximum(la, lb_)
+    lev_ub = np.where(
+        ml == 0, 1.0, 1.0 - np.abs(la - lb_) / np.maximum(ml, 1).astype(np.float64)
+    )
+    w2 = 1.0 - dense_weight
+    ub_score = dense_weight * dense_sim + w2 * np.maximum(jw, lev_ub)
+    lb_score = dense_weight * dense_sim + w2 * jw
+    best_lb = np.full(len(surfs), -np.inf)
+    np.maximum.at(best_lb, ia, lb_score)
+    keep = np.flatnonzero(ub_score >= best_lb[ia])
+    lev = levenshtein_np([na[i] for i in keep], [nb[i] for i in keep])
+    mlk = ml[keep]
+    lev_sim_k = np.where(
+        mlk == 0, 1.0, 1.0 - lev / np.maximum(mlk, 1).astype(np.float64)
+    )
+    lex_k = np.maximum(jw[keep], lev_sim_k)
+    score_k = dense_weight * dense_sim[keep] + (1.0 - dense_weight) * lex_k
 
     best: dict[str, tuple] = {}
-    for k in range(len(items)):
+    for j, k in enumerate(keep):
         a = surfs[ia[k]][0]
         b = aliases[ib[k]][0]
         nb_k = aliases[ib[k]][1]
         # rank key mirrors Window.orderBy(score desc, b, norm_b)
-        rank = (-score[k], b, nb_k)
+        rank = (-score_k[j], b, nb_k)
         if a not in best or rank < best[a][0]:
-            best[a] = (rank, (a, b, float(dense[k]), float(jw[k]), float(lev_sim[k]), float(score[k])))
+            best[a] = (rank, (a, b, float(dense[k]), float(jw[k]), float(lev_sim_k[j]), float(score_k[j])))
     return [row for _rank, row in best.values() if row[5] >= tau_ent]
