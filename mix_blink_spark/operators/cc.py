@@ -185,13 +185,26 @@ def connected_components(
     prev_sig = None
     iter_secs: list[float] = []
     iter_edges: list[int] = []
+    from pyspark.sql import Observation
+
     for it in range(max_iterations):
         t0 = _time.monotonic()
-        e = _ckpt(_small_star(_large_star(e, dedup=False)))
-        sig = e.agg(
-            F.count("*").alias("n"),
+        # convergence signature rides the checkpoint materialization as an
+        # observed metric instead of a separate agg job per iteration
+        # (round 8): CollectMetrics computes count + xor-hash over exactly
+        # the rows the eager checkpoint materializes (both xor and count
+        # are order-invariant, and accumulator updates apply once per
+        # successful partition), so the per-iteration re-scan of the
+        # checkpointed frame disappears. Verified populated by BOTH
+        # localCheckpoint(eager) and reliable checkpoint(eager) on 4.1.2.
+        obs = Observation(f"cc-sig-{it}")
+        nxt = _small_star(_large_star(e, dedup=False)).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-        ).first()
+        )
+        e = _ckpt(nxt)
+        sig = obs.get
         cur = (sig["n"], sig["h"])
         iter_secs.append(round(_time.monotonic() - t0, 2))
         iter_edges.append(int(cur[0]))
